@@ -1,0 +1,175 @@
+"""MFCC / logfbank / delta numerics tests.
+
+Golden values come from an independent numpy transcription of the
+python_speech_features algorithm (the library the reference uses at
+src/speech_utils/speech_features.py:28-72; it is not installed in this image,
+so the transcription below follows its documented algorithm exactly, with
+scipy.fftpack.dct for the DCT stage as an independent implementation).
+"""
+import math
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.fftpack import dct as scipy_dct
+
+from vqvae_speech_tpu.ops import mfcc, logfbank, delta, speech_features, num_frames
+
+
+# ---------------- numpy golden implementation -----------------
+
+
+def _np_framesig(sig, frame_len, frame_step):
+    slen = len(sig)
+    if slen <= frame_len:
+        numframes = 1
+    else:
+        numframes = 1 + int(math.ceil((1.0 * slen - frame_len) / frame_step))
+    padlen = int((numframes - 1) * frame_step + frame_len)
+    padded = np.concatenate([sig, np.zeros(padlen - slen)])
+    indices = (
+        np.tile(np.arange(0, frame_len), (numframes, 1))
+        + np.tile(np.arange(0, numframes * frame_step, frame_step), (frame_len, 1)).T
+    )
+    return padded[indices.astype(np.int32)]
+
+
+def _np_hz2mel(hz):
+    return 2595 * np.log10(1 + hz / 700.0)
+
+
+def _np_mel2hz(mel):
+    return 700 * (10 ** (mel / 2595.0) - 1)
+
+
+def _np_filterbanks(nfilt, nfft, rate, lowfreq=0, highfreq=None):
+    highfreq = highfreq or rate / 2
+    lowmel = _np_hz2mel(lowfreq)
+    highmel = _np_hz2mel(highfreq)
+    melpoints = np.linspace(lowmel, highmel, nfilt + 2)
+    bin = np.floor((nfft + 1) * _np_mel2hz(melpoints) / rate)
+    fbank = np.zeros([nfilt, nfft // 2 + 1])
+    for j in range(0, nfilt):
+        for i in range(int(bin[j]), int(bin[j + 1])):
+            fbank[j, i] = (i - bin[j]) / (bin[j + 1] - bin[j])
+        for i in range(int(bin[j + 1]), int(bin[j + 2])):
+            fbank[j, i] = (bin[j + 2] - i) / (bin[j + 2] - bin[j + 1])
+    return fbank
+
+
+def _np_fbank(sig, rate=16000, winlen=0.025, winstep=0.01, nfilt=26, nfft=512,
+              preemph=0.97):
+    sig = np.append(sig[0], sig[1:] - preemph * sig[:-1])
+    frames = _np_framesig(sig, int(round(winlen * rate)), int(round(winstep * rate)))
+    pspec = 1.0 / nfft * np.square(np.abs(np.fft.rfft(frames, nfft)))
+    energy = np.sum(pspec, 1)
+    energy = np.where(energy == 0, np.finfo(float).eps, energy)
+    fb = _np_filterbanks(nfilt, nfft, rate)
+    feat = np.dot(pspec, fb.T)
+    feat = np.where(feat == 0, np.finfo(float).eps, feat)
+    return feat, energy
+
+
+def _np_lifter(cepstra, L=22):
+    if L <= 0:
+        return cepstra
+    nframes, ncoeff = np.shape(cepstra)
+    n = np.arange(ncoeff)
+    lift = 1 + (L / 2.0) * np.sin(np.pi * n / L)
+    return lift * cepstra
+
+
+def _np_mfcc(sig, rate=16000, numcep=13):
+    feat, energy = _np_fbank(sig, rate)
+    feat = np.log(feat)
+    feat = scipy_dct(feat, type=2, axis=1, norm="ortho")[:, :numcep]
+    feat = _np_lifter(feat)
+    feat[:, 0] = np.log(energy)
+    return feat
+
+
+def _np_logfbank(sig, rate=16000, nfilt=26):
+    feat, _ = _np_fbank(sig, rate, nfilt=nfilt)
+    return np.log(feat)
+
+
+def _np_delta(feat, N=2):
+    NUMFRAMES = len(feat)
+    denominator = 2 * sum([i**2 for i in range(1, N + 1)])
+    delta_feat = np.empty_like(feat)
+    padded = np.pad(feat, ((N, N), (0, 0)), mode="edge")
+    for t in range(NUMFRAMES):
+        delta_feat[t] = (
+            np.dot(np.arange(-N, N + 1), padded[t : t + 2 * N + 1]) / denominator
+        )
+    return delta_feat
+
+
+# ---------------- tests -----------------
+
+
+def _rand_signal(n=7680, seed=0):
+    rng = np.random.default_rng(seed)
+    # speech-like: sum of tones + noise, in [-1, 1]
+    t = np.arange(n) / 16000.0
+    sig = 0.4 * np.sin(2 * np.pi * 220 * t) + 0.2 * np.sin(2 * np.pi * 1031 * t)
+    sig += 0.05 * rng.standard_normal(n)
+    return sig.astype(np.float64)
+
+
+def test_frame_count_matches_reference_config():
+    # reference config: length 7680 @ 16 kHz -> input_features_dim 47
+    # (configurations/vctk_features.yaml:30,67)
+    assert num_frames(7680, 400, 160) == 47
+    assert num_frames(30720, 400, 160) == 191
+
+
+def test_mfcc_matches_golden():
+    sig = _rand_signal()
+    got = np.asarray(mfcc(jnp.asarray(sig, dtype=jnp.float64)))
+    want = _np_mfcc(sig)
+    assert got.shape == (47, 13)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+def test_mfcc_float32_close():
+    sig = _rand_signal(seed=3)
+    got = np.asarray(mfcc(jnp.asarray(sig, dtype=jnp.float32)))
+    want = _np_mfcc(sig)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_logfbank_matches_golden():
+    sig = _rand_signal(seed=1)
+    got = np.asarray(logfbank(jnp.asarray(sig, dtype=jnp.float64), nfilt=26))
+    want = _np_logfbank(sig)
+    assert got.shape == (47, 26)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+def test_delta_matches_golden():
+    rng = np.random.default_rng(2)
+    feat = rng.standard_normal((47, 13))
+    got = np.asarray(delta(jnp.asarray(feat), 2))
+    want = _np_delta(feat, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-10)
+
+
+def test_speech_features_augmented_shape_and_values():
+    sig = _rand_signal(seed=4)
+    got = np.asarray(
+        speech_features("mfcc", jnp.asarray(sig, dtype=jnp.float64), 16000, 13, True)
+    )
+    assert got.shape == (47, 39)
+    m = _np_mfcc(sig)
+    d = _np_delta(m, 2)
+    a = _np_delta(d, 2)
+    want = np.concatenate([m, d, a], axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+def test_batched_matches_single():
+    sigs = np.stack([_rand_signal(seed=s) for s in range(3)])
+    batched = np.asarray(mfcc(jnp.asarray(sigs, dtype=jnp.float64)))
+    for b in range(3):
+        single = np.asarray(mfcc(jnp.asarray(sigs[b], dtype=jnp.float64)))
+        np.testing.assert_allclose(batched[b], single, rtol=1e-12, atol=1e-12)

@@ -1,0 +1,11 @@
+from vqvae_speech_tpu.ops.mu_law import mu_law_encode, mu_law_decode
+from vqvae_speech_tpu.ops.dsp import (
+    frame_signal,
+    power_spectrum,
+    mel_filterbank,
+    mfcc,
+    logfbank,
+    delta,
+    speech_features,
+    num_frames,
+)
