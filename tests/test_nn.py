@@ -84,7 +84,7 @@ def test_residual_stack_applies_shared_block_n_times():
     key = jax.random.PRNGKey(0)
     params = residual_stack_init(key, 8, 8, 3, 16)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 10, 8))
-    got = residual_stack_apply(params, x)
+    got = residual_stack_apply(params, x, 3)
 
     # manual: apply the single block 3 times then relu
     from vqvae_speech_tpu.nn.layers import residual_apply

@@ -1,0 +1,172 @@
+"""End-to-end training integration tests on synthetic data.
+
+Covers: experiments-JSON driver, config freeze, train loop, loss descent,
+per-epoch checkpointing, auto-resume, and 8-device data-parallel sharding on
+the virtual CPU mesh.
+"""
+import json
+import os
+
+import numpy as np
+import jax
+import yaml
+
+from vqvae_speech_tpu.data.synthetic import build_synthetic_store
+from vqvae_speech_tpu.data import FeatureStore, FeatureLoader, compute_dataset_stats, load_normalizer
+from vqvae_speech_tpu.train import Experiments
+from vqvae_speech_tpu.train.checkpoint import find_checkpoints, load_checkpoint, merge_checkpoint_losses
+
+TINY_CFG = dict(
+    decoder_type="deconvolutional",
+    trainer_type="convolutional",
+    verbose=False,
+    batch_size=4,
+    data_root=".",
+    start_epoch=0,
+    num_epochs=2,
+    num_workers=1,
+    train_val_split=0.8,
+    learning_rate=0.0005,
+    normalize=True,
+    normalizer_path="",
+    use_speaker_conditioning=False,
+    record_codebook_stats=False,
+    record_gradient_stats=False,
+    features_path="features",
+    export_one_hot_features=False,
+    use_cuda=False,
+    use_data_parallel=False,
+    use_device=None,
+    sampling_rate=16000,
+    res_type="kaiser_fast",
+    top_db=20,
+    length=7680,
+    quantize=256,
+    num_hiddens=24,
+    input_dim=256,
+    num_embeddings=11,
+    embedding_dim=8,
+    commitment_cost=0.25,
+    decay=0.0,
+    residual_channels=24,
+    num_residual_layers=2,
+    input_features_type="mfcc",
+    output_features_type="mfcc",
+    input_features_dim=47,
+    input_features_filters=13,
+    output_features_dim=47,
+    output_features_filters=13,
+    augment_input_features=True,
+    augment_output_features=True,
+    use_kaiming_normal=False,
+    jitter_probability=0.12,
+    use_jitter=False,
+)
+
+
+def _setup(tmp_path, cfg_overrides=None, experiments=None, seed=1234):
+    root = str(tmp_path)
+    store_root = os.path.join(root, "features")
+    build_synthetic_store(store_root, num_train=16, num_val=4)
+    normalizer_path = os.path.join(root, "stats.pickle")
+    compute_dataset_stats(FeatureStore(store_root), normalizer_path)
+
+    cfg = dict(TINY_CFG)
+    cfg["normalizer_path"] = normalizer_path
+    cfg.update(cfg_overrides or {})
+    cfg_path = os.path.join(root, "base.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+
+    spec = {
+        "experiments_path": os.path.join(root, "experiments"),
+        "results_path": os.path.join(root, "results"),
+        "configuration_path": cfg_path,
+        "seed": seed,
+        "experiments": experiments or {"tiny": {"num_epochs": 2}},
+    }
+    spec_path = os.path.join(root, "experiments.json")
+    with open(spec_path, "w") as f:
+        json.dump(spec, f)
+    return root, spec_path, store_root
+
+
+def test_train_checkpoints_and_loss_descends(tmp_path):
+    root, spec_path, store_root = _setup(tmp_path)
+    exps = Experiments.load(spec_path, data_root=store_root)
+    exps.train()
+
+    exp_dir = os.path.join(root, "experiments")
+    ckpts = find_checkpoints(exp_dir, "tiny")
+    assert [e for e, _ in ckpts] == [1, 2]
+    assert os.path.isfile(os.path.join(exp_dir, "tiny_configuration.yaml"))
+
+    losses, perps = merge_checkpoint_losses(exp_dir, "tiny")
+    assert len(losses) == 2 * 4  # 2 epochs x (16/4) steps
+    assert all(np.isfinite(l["loss"]) for l in losses)
+    # loss should descend over training on this easy synthetic set
+    assert losses[-1]["loss"] < losses[0]["loss"]
+    first = load_checkpoint(ckpts[0][1])
+    assert first["epoch"] == 1 and first["experiment_name"] == "tiny"
+
+
+def test_auto_resume_continues_from_latest_epoch(tmp_path):
+    root, spec_path, store_root = _setup(tmp_path)
+    Experiments.load(spec_path, data_root=store_root).train()
+    exp_dir = os.path.join(root, "experiments")
+    assert len(find_checkpoints(exp_dir, "tiny")) == 2
+
+    # bump num_epochs in the FROZEN config (resume contract: frozen config wins)
+    frozen = os.path.join(exp_dir, "tiny_configuration.yaml")
+    with open(frozen) as f:
+        cfg = yaml.load(f, yaml.FullLoader)
+    cfg["num_epochs"] = 3
+    with open(frozen, "w") as f:
+        yaml.dump(cfg, f)
+
+    exps = Experiments.load(spec_path, data_root=store_root)
+    assert exps.experiments[0].resumed
+    exps.train()
+    ckpts = find_checkpoints(exp_dir, "tiny")
+    assert [e for e, _ in ckpts] == [1, 2, 3]
+
+
+def test_seed_fanout_naming(tmp_path):
+    root, spec_path, store_root = _setup(tmp_path)
+    with open(spec_path) as f:
+        spec = json.load(f)
+    spec["seed"] = [1, 2]
+    with open(spec_path, "w") as f:
+        json.dump(spec, f)
+    exps = Experiments.load(spec_path, data_root=store_root)
+    assert sorted(e.name for e in exps.experiments) == [
+        "tiny-seed1", "tiny-seed2"]
+
+
+def test_data_parallel_training_on_8_device_mesh(tmp_path):
+    assert len(jax.devices()) == 8
+    root, spec_path, store_root = _setup(
+        tmp_path,
+        cfg_overrides={"use_data_parallel": True, "batch_size": 8,
+                       "decay": 0.99},  # EMA path under DP too
+        experiments={"dp": {"num_epochs": 1}})
+    exps = Experiments.load(spec_path, data_root=store_root)
+    exp = exps.experiments[0]
+    assert exp.mesh_configuration.data_axis_size == 8
+    exps.train()
+    losses, _ = merge_checkpoint_losses(os.path.join(root, "experiments"), "dp")
+    assert len(losses) == 2  # 16/8
+    assert all(np.isfinite(l["loss"]) for l in losses)
+
+
+def test_ema_state_saved_in_checkpoint(tmp_path):
+    root, spec_path, store_root = _setup(
+        tmp_path, cfg_overrides={"decay": 0.99},
+        experiments={"ema": {"num_epochs": 1}})
+    Experiments.load(spec_path, data_root=store_root).train()
+    ckpts = find_checkpoints(os.path.join(root, "experiments"), "ema")
+    ckpt = load_checkpoint(ckpts[-1][1])
+    assert "codebook" in ckpt["model_state"]["vq"]
+    assert "ema_cluster_size" in ckpt["model_state"]["vq"]
+    # EMA ran: cluster sizes are no longer all-zero
+    assert np.any(ckpt["model_state"]["vq"]["ema_cluster_size"] != 0)

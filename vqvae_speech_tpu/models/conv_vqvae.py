@@ -77,7 +77,8 @@ def conv_vqvae_encode(params, state, x, config: dict, *, training: bool = False,
 
     x: (B, T, features) normalized input features.
     """
-    z = convolutional_encoder_apply(params["encoder"], x)
+    z = convolutional_encoder_apply(params["encoder"], x,
+                                    config["num_residual_layers"])
     z = conv1d(params["pre_vq_conv"], z, padding=1)
     return vector_quantizer_apply(
         params["vq"], state["vq"], z,
@@ -100,6 +101,7 @@ def conv_vqvae_apply(params, state, x, config: dict, *, training: bool = False,
     recon = deconvolutional_decoder_apply(
         params["decoder"], vq_out.quantized,
         training=training,
+        num_residual_layers=config["num_residual_layers"],
         use_jitter=config["use_jitter"],
         jitter_probability=config["jitter_probability"],
         jitter_key=jitter_key,

@@ -57,6 +57,7 @@ def deconvolutional_decoder_init(key, in_channels: int, out_channels: int,
 
 
 def deconvolutional_decoder_apply(params, x, *, training: bool = False,
+                                  num_residual_layers: int = 2,
                                   use_jitter: bool = False,
                                   jitter_probability: float = 0.12,
                                   jitter_key=None, speaker_ids=None):
@@ -73,7 +74,7 @@ def deconvolutional_decoder_apply(params, x, *, training: bool = False,
         x = jnp.concatenate([x, g], axis=-1)
     x = conv1d(params["conv_1"], x, padding=1)
     x = upsample_nearest(x, 2)
-    x = residual_stack_apply(params["residual_stack"], x)
+    x = residual_stack_apply(params["residual_stack"], x, num_residual_layers)
     x = jax.nn.relu(conv_transpose1d(params["conv_trans_1"], x, padding=1))
     x = jax.nn.relu(conv_transpose1d(params["conv_trans_2"], x, padding=0))
     return conv_transpose1d(params["conv_trans_3"], x, padding=0)

@@ -38,11 +38,12 @@ def convolutional_encoder_init(key, features_filters: int, num_hiddens: int,
     }
 
 
-def convolutional_encoder_apply(params, x):
+def convolutional_encoder_apply(params, x, num_residual_layers: int = 2):
     """x: (B, T, features_filters) -> (B, ceil((T+1)/2), num_hiddens)."""
     x1 = jax.nn.relu(conv1d(params["conv_1"], x, padding=1))
     x = jax.nn.relu(conv1d(params["conv_2"], x1, padding=1)) + x1
     x3 = jax.nn.relu(conv1d(params["conv_3"], x, stride=2, padding=2))
     x4 = jax.nn.relu(conv1d(params["conv_4"], x3, padding=1)) + x3
     x5 = jax.nn.relu(conv1d(params["conv_5"], x4, padding=1)) + x4
-    return residual_stack_apply(params["residual_stack"], x5) + x5
+    return residual_stack_apply(params["residual_stack"], x5,
+                                num_residual_layers) + x5

@@ -44,17 +44,19 @@ def residual_stack_init(key, in_ch, num_hiddens, num_residual_layers,
     The reference's ResidualStack builds its layer list with Python list
     multiplication, so every layer is the SAME module instance (tied weights,
     reference src/modules/residual_stack.py:40-41).  We reproduce that by
-    storing a single block's params and looping the apply.
+    storing a single block's params and looping the apply.  The layer count is
+    static (threaded through apply, NOT stored in the param pytree — grads
+    flow over params).
     """
+    del num_residual_layers  # static; passed to residual_stack_apply
     return {
         "block": residual_init(key, in_ch, num_hiddens, num_residual_hiddens,
                                use_weight_norm, dtype),
-        "num_layers": num_residual_layers,
     }
 
 
-def residual_stack_apply(params, x):
-    for _ in range(params["num_layers"]):
+def residual_stack_apply(params, x, num_layers: int):
+    for _ in range(num_layers):
         x = residual_apply(params["block"], x)
     return jax.nn.relu(x)
 

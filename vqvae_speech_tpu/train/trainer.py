@@ -1,0 +1,249 @@
+"""Jitted, mesh-sharded trainer for the convolutional VQ-VAE.
+
+Capability-parity with reference src/experiments/base_trainer.py:35-108 and
+src/experiments/convolutional_trainer.py:34-86, redesigned TPU-first:
+
+* ONE compiled train step (forward + MSE/VQ loss + backward + Adam-amsgrad
+  update + EMA codebook state update) — the reference runs ~7 separate
+  framework calls per step.
+* Data parallelism via `jax.sharding`: the batch enters sharded over the
+  mesh's ``data`` axis, params/optimizer replicated; XLA inserts the gradient
+  all-reduce as ICI collectives (replaces nn.DataParallel,
+  reference pipeline_factory.py:61).
+* Per-epoch checkpoint + loss/perplexity recording, codebook/gradient stats
+  hooks with the reference's pickle filename contract.
+
+NOTE the reference gates its gradient-stats hook on the *codebook* flag
+(base_trainer.py:92 checks record_codebook_stats) — an observed bug; here
+gradient recording honors record_gradient_stats.
+"""
+import functools
+import os
+import pickle
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vqvae_speech_tpu.models import conv_vqvae_apply
+from vqvae_speech_tpu.train.checkpoint import save_checkpoint
+from vqvae_speech_tpu.utils.logger import ConsoleLogger
+
+
+class TrainState(NamedTuple):
+    params: Any
+    model_state: Any   # EMA codebook state etc.
+    opt_state: Any
+    rng: jax.Array
+
+
+def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
+    """Adam with amsgrad, matching reference convolutional_trainer.py:41-42."""
+    return optax.amsgrad(learning_rate)
+
+
+def create_train_state(key, params, model_state,
+                       optimizer: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        params=params,
+        model_state=model_state,
+        opt_state=optimizer.init(params),
+        rng=key,
+    )
+
+
+def make_train_step(config: dict, optimizer: optax.GradientTransformation,
+                    mesh=None, use_pallas=None):
+    """Returns a jitted (state, batch) -> (state, metrics) step.
+
+    With a mesh, batch arrays are expected sharded over ``data`` and
+    state replicated; without one, plain single-device jit.
+    """
+
+    def loss_fn(params, model_state, batch, rng):
+        out = conv_vqvae_apply(
+            params, model_state, batch["input_features"], config,
+            training=True, rng=rng, speaker_ids=batch.get("speaker_id"),
+            use_pallas=use_pallas)
+        recon = jnp.mean(
+            jnp.square(out.reconstructed_x - batch["output_features"]))
+        loss = out.vq_loss + recon
+        metrics = dict(out.losses)
+        metrics["reconstruction_loss"] = recon
+        metrics["loss"] = loss
+        metrics["perplexity"] = out.perplexity
+        return loss, (out.new_state, metrics)
+
+    def step(state: TrainState, batch):
+        rng, sub = jax.random.split(state.rng)
+        grads, (new_model_state, metrics) = jax.grad(
+            loss_fn, has_aux=True)(state.params, state.model_state, batch, sub)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_model_state, new_opt, rng), metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step,
+        in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_grad_stats_fn(config: dict, use_pallas=None):
+    """Jitted |grad| mean/max per parameter leaf (for the gradient-flow
+    plots; reference src/evaluation/gradient_stats.py:38-52)."""
+
+    def fn(state: TrainState, batch):
+        def loss_only(params):
+            out = conv_vqvae_apply(
+                params, state.model_state, batch["input_features"], config,
+                training=True, rng=state.rng,
+                speaker_ids=batch.get("speaker_id"), use_pallas=use_pallas)
+            recon = jnp.mean(
+                jnp.square(out.reconstructed_x - batch["output_features"]))
+            return out.vq_loss + recon
+
+        grads = jax.grad(loss_only)(state.params)
+        means = jax.tree_util.tree_map(lambda g: jnp.mean(jnp.abs(g)), grads)
+        maxs = jax.tree_util.tree_map(lambda g: jnp.max(jnp.abs(g)), grads)
+        return means, maxs
+
+    return jax.jit(fn)
+
+
+def _named_grad_entries(means, maxs):
+    """Flatten grad-stats pytrees into the reference's gradient entry shape
+    ({'layers': [...], 'avg_grads': [...], 'max_grads': [...]},
+    reference src/evaluation/gradient_stats.py:38-52)."""
+    flat_means = jax.tree_util.tree_flatten_with_path(means)[0]
+    flat_maxs = jax.tree_util.tree_flatten_with_path(maxs)[0]
+    layers, avg_grads, max_grads = [], [], []
+    for (path, mean_leaf), (_, max_leaf) in zip(flat_means, flat_maxs):
+        layers.append(jax.tree_util.keystr(path))
+        avg_grads.append(float(mean_leaf))
+        max_grads.append(float(max_leaf))
+    return {"layers": layers, "avg_grads": avg_grads, "max_grads": max_grads}
+
+
+class ConvolutionalTrainer:
+    """Epoch loop + recording + per-epoch checkpointing."""
+
+    def __init__(self, config: dict, params, model_state, training_loader,
+                 experiments_path: str, experiment_name: str, seed: int = 1234,
+                 mesh=None, start_epoch: int = 0, opt_state=None,
+                 iterations_to_record: int = 10, use_pallas=None):
+        self._config = config
+        self._loader = training_loader
+        self._experiments_path = experiments_path
+        self._experiment_name = experiment_name
+        self._mesh = mesh
+        self._start_epoch = start_epoch
+        self._iterations_to_record = iterations_to_record
+
+        self._optimizer = make_optimizer(config["learning_rate"])
+        key = jax.random.PRNGKey(seed)
+        self._state = TrainState(
+            params=params,
+            model_state=model_state,
+            opt_state=(opt_state if opt_state is not None
+                       else self._optimizer.init(params)),
+            rng=key,
+        )
+        if mesh is not None:
+            from vqvae_speech_tpu.parallel.mesh import replicate
+            self._state = replicate(self._state, mesh)
+        self._step = make_train_step(config, self._optimizer, mesh, use_pallas)
+        self._grad_stats = make_grad_stats_fn(config, use_pallas)
+
+    @property
+    def state(self) -> TrainState:
+        return self._state
+
+    def _put_batch(self, batch):
+        if self._mesh is None:
+            return batch
+        from vqvae_speech_tpu.parallel.mesh import shard_batch
+        return shard_batch(batch, self._mesh)
+
+    def train(self):
+        cfg = self._config
+        ConsoleLogger.status(f"start epoch: {self._start_epoch}")
+        ConsoleLogger.status(f"num epoch: {cfg['num_epochs']}")
+        for epoch in range(self._start_epoch, cfg["num_epochs"]):
+            losses_list, perplexity_list = [], []
+            n_iter = len(self._loader)
+            step_rec = max(int(n_iter / self._iterations_to_record) - 1, 1)
+            record_iters = set(np.arange(0, n_iter, step=step_rec, dtype=int))
+            for iteration, batch in enumerate(self._loader):
+                batch = self._put_batch(batch)
+                if (cfg.get("record_gradient_stats")
+                        and iteration in record_iters):
+                    self._record_gradient_stats(batch, epoch, iteration)
+                self._state, metrics = self._step(self._state, batch)
+                metrics = jax.device_get(metrics)
+                metrics = {k: float(v) for k, v in metrics.items()}
+                perplexity_list.append(metrics.pop("perplexity"))
+                losses_list.append(metrics)
+                if (cfg.get("record_codebook_stats")
+                        and iteration in record_iters):
+                    self._record_codebook_stats(batch, epoch, iteration)
+            ConsoleLogger.status(
+                "Epoch {}: loss {:.4f} perplexity {:.3f}".format(
+                    epoch + 1, losses_list[-1]["loss"], perplexity_list[-1]))
+            self.save(epoch, losses_list, perplexity_list)
+        return self._state
+
+    def save(self, epoch, losses_list=None, perplexity_list=None):
+        return save_checkpoint(
+            self._experiments_path, self._experiment_name, epoch,
+            self._state.params, self._state.model_state, self._state.opt_state,
+            train_res_recon_error=losses_list,
+            train_res_perplexity=perplexity_list)
+
+    # ---------------- recording hooks ----------------
+
+    def _codebook(self):
+        ms = self._state.model_state
+        if ms.get("vq"):
+            return np.asarray(ms["vq"]["codebook"])
+        return np.asarray(self._state.params["vq"]["codebook"])
+
+    def _record_codebook_stats(self, batch, epoch, iteration):
+        from vqvae_speech_tpu.models import conv_vqvae_apply as fwd
+        out = fwd(self._state.params, self._state.model_state,
+                  batch["input_features"], self._config, training=False)
+        embedding = self._codebook()
+        idx = np.asarray(out.encoding_indices)
+        entry = {
+            "concatenated_quantized": embedding[idx[:, 0]],
+            "embedding": embedding,
+            "n_embedding": embedding.shape[0],
+            "encoding_indices": idx,
+            "speaker_ids": np.asarray(batch["speaker_id"]),
+            "batch_size": int(np.asarray(batch["input_features"]).shape[0]),
+        }
+        path = os.path.join(
+            self._experiments_path,
+            f"{self._experiment_name}_{epoch + 1}_{iteration}_codebook-stats.pickle")
+        with open(path, "wb") as f:
+            pickle.dump(entry, f)
+
+    def _record_gradient_stats(self, batch, epoch, iteration):
+        means, maxs = jax.device_get(self._grad_stats(self._state, batch))
+        entry = {"model": _named_grad_entries(means, maxs)}
+        for part in ("encoder", "vq", "decoder"):
+            if part in means and jax.tree_util.tree_leaves(means[part]):
+                entry[part] = _named_grad_entries(means[part], maxs[part])
+        path = os.path.join(
+            self._experiments_path,
+            f"{self._experiment_name}_{epoch + 1}_{iteration}_gradient-stats.pickle")
+        with open(path, "wb") as f:
+            pickle.dump(entry, f)
