@@ -1,0 +1,168 @@
+"""Benchmark: MFCC->encoder->VQ encode throughput (frames/sec/chip) on the
+flagship vq44-mfcc39 model, vs an in-process PyTorch-CPU baseline of the same
+pipeline (the reference's stack: python_speech_features-style MFCC on host +
+torch conv encoder + VQ distance/argmin — reference call stack SURVEY.md 3.1).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+import numpy as np
+
+RATE = 16000
+LENGTH = 7680
+FRAMES = 47          # frames per utterance at winstep 10 ms
+NUMCEP = 13
+FEAT_DIM = 39
+HID = 768
+EMB_DIM = 64
+CODES = 44
+N_RES = 2
+
+
+def _make_waves(batch, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(LENGTH) / RATE
+    waves = (0.4 * np.sin(2 * np.pi * 220 * t)[None, :]
+             + 0.05 * rng.standard_normal((batch, LENGTH)))
+    return waves.astype(np.float32)
+
+
+# ---------------- TPU (JAX) pipeline ----------------
+
+
+def bench_jax(batch=256, iters=20):
+    import jax
+    import jax.numpy as jnp
+    from vqvae_speech_tpu.ops import speech_features
+    from vqvae_speech_tpu.models import conv_vqvae_init, conv_vqvae_encode
+
+    cfg = dict(
+        input_features_filters=NUMCEP, augment_input_features=True,
+        output_features_filters=NUMCEP, augment_output_features=True,
+        num_hiddens=HID, num_residual_layers=N_RES, residual_channels=HID,
+        embedding_dim=EMB_DIM, num_embeddings=CODES, commitment_cost=0.25,
+        decay=0.0, use_kaiming_normal=False, use_jitter=False,
+        jitter_probability=0.12, use_speaker_conditioning=False,
+    )
+    params, state = conv_vqvae_init(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def encode(waves):
+        feats = speech_features("mfcc", waves, RATE, NUMCEP, True)
+        out = conv_vqvae_encode(params, state, feats.astype(jnp.float32), cfg,
+                                training=False)
+        return out.indices
+
+    waves = jnp.asarray(_make_waves(batch))
+    # warmup/compile
+    jax.block_until_ready(encode(waves))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        idx = encode(waves)
+    jax.block_until_ready(idx)
+    dt = time.perf_counter() - t0
+    frames = batch * FRAMES * iters
+    return frames / dt
+
+
+# ---------------- PyTorch-CPU baseline ----------------
+
+
+def _np_mfcc39(waves):
+    """python_speech_features-equivalent MFCC+delta+deltadelta on host numpy
+    (what the reference computes per utterance on CPU)."""
+    from scipy.fftpack import dct
+
+    pre = np.concatenate([waves[:, :1], waves[:, 1:] - 0.97 * waves[:, :-1]], 1)
+    idx = np.arange(400)[None, :] + np.arange(0, FRAMES * 160, 160)[:, None]
+    padded = np.pad(pre, ((0, 0), (0, 400 + (FRAMES - 1) * 160 - LENGTH)))
+    frames = padded[:, idx]
+    pspec = (1.0 / 512) * np.abs(np.fft.rfft(frames, 512, axis=-1)) ** 2
+    energy = np.maximum(pspec.sum(-1), np.finfo(np.float32).eps)
+    from vqvae_speech_tpu.ops.dsp import mel_filterbank
+    fb = mel_filterbank(26, 512, RATE)
+    feat = np.log(np.maximum(pspec @ fb.T, np.finfo(np.float32).eps))
+    feat = dct(feat, type=2, axis=-1, norm="ortho")[..., :NUMCEP]
+    n = np.arange(NUMCEP)
+    feat *= 1 + (22 / 2.0) * np.sin(np.pi * n / 22)
+    feat[..., 0] = np.log(energy)
+
+    def delta(f):
+        p = np.pad(f, ((0, 0), (2, 2), (0, 0)), mode="edge")
+        return (2 * (p[:, 4:] - p[:, :-4]) + (p[:, 3:-1] - p[:, 1:-3])) / 10.0
+
+    d = delta(feat)
+    return np.concatenate([feat, d, delta(d)], axis=-1).astype(np.float32)
+
+
+def bench_torch(batch=16, iters=4):
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    torch.set_num_threads(os.cpu_count() or 8)
+
+    class Enc(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c1 = tnn.Conv1d(FEAT_DIM, HID, 3, padding=1)
+            self.c2 = tnn.Conv1d(HID, HID, 3, padding=1)
+            self.c3 = tnn.Conv1d(HID, HID, 4, stride=2, padding=2)
+            self.c4 = tnn.Conv1d(HID, HID, 3, padding=1)
+            self.c5 = tnn.Conv1d(HID, HID, 3, padding=1)
+            self.r1 = tnn.Conv1d(HID, HID, 3, padding=1, bias=False)
+            self.r2 = tnn.Conv1d(HID, HID, 1, bias=False)
+            self.pre = tnn.Conv1d(HID, EMB_DIM, 3, padding=1)
+            self.cb = tnn.Parameter(torch.randn(CODES, EMB_DIM))
+
+        def forward(self, x):
+            x1 = F.relu(self.c1(x))
+            x = F.relu(self.c2(x1)) + x1
+            x3 = F.relu(self.c3(x))
+            x4 = F.relu(self.c4(x3)) + x3
+            x5 = F.relu(self.c5(x4)) + x4
+            h = x5
+            for _ in range(N_RES):
+                h = h + self.r2(F.relu(self.r1(F.relu(h))))
+            z = self.pre(F.relu(h) + x5)
+            flat = z.permute(1, 2, 0).contiguous().view(-1, EMB_DIM)
+            d = (flat.pow(2).sum(1, keepdim=True) + self.cb.pow(2).sum(1)
+                 - 2 * flat @ self.cb.t())
+            return torch.argmin(d, dim=1)
+
+    model = Enc().eval()
+    waves = _make_waves(batch)
+    with torch.no_grad():
+        # warmup
+        feats = _np_mfcc39(waves)
+        model(torch.from_numpy(feats).permute(0, 2, 1).contiguous())
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            feats = _np_mfcc39(waves)
+            idx = model(torch.from_numpy(feats).permute(0, 2, 1).contiguous())
+        dt = time.perf_counter() - t0
+    frames = batch * FRAMES * iters
+    return frames / dt
+
+
+def main():
+    torch_fps = bench_torch()
+    jax_fps = bench_jax()
+    print(json.dumps({
+        "metric": "mfcc_encode_vq_throughput",
+        "value": round(jax_fps, 1),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(jax_fps / torch_fps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
