@@ -54,7 +54,7 @@ def export_split_to_features(files, speaker_dic, store: FeatureStore,
             ConsoleLogger.warn(f"skipping '{path}': {e}")
             return None
 
-    all_inputs, all_outputs, all_speakers = [], [], []
+    all_inputs, all_outputs, all_speakers, all_audio = [], [], [], []
     meta = {"wav_filenames": [], "shifting_times": [],
             "random_starting_indices": [], "top_db": cfg["top_db"],
             "sampling_rate": rate, "length": length}
@@ -84,6 +84,7 @@ def export_split_to_features(files, speaker_dic, store: FeatureStore,
                         f"will not be saved (target {target_shape})")
             all_inputs.append(inp[keep])
             all_outputs.append(outp[keep])
+            all_audio.append(waves[keep])
             all_speakers.extend(int(items[i]["speaker_id"]) for i in keep)
             for i in keep:
                 meta["wav_filenames"].append(items[i]["wav_filename"])
@@ -98,7 +99,10 @@ def export_split_to_features(files, speaker_dic, store: FeatureStore,
                 np.zeros((0, frames, in_dim), np.float32),
                 np.concatenate(all_outputs) if all_outputs else
                 np.zeros((0, frames, out_filters * 3), np.float32),
-                np.asarray(all_speakers, np.int32), metadata=meta)
+                np.asarray(all_speakers, np.int32), metadata=meta,
+                preprocessed_audio=(
+                    np.concatenate(all_audio).astype(np.float32) if all_audio
+                    else np.zeros((0, length + 1), np.float32)))
     return store
 
 

@@ -39,13 +39,14 @@ class FeatureStore:
         return os.path.isfile(self._npz_path(split))
 
     def write(self, split: str, input_features, output_features, speaker_ids,
-              metadata: dict = None):
+              metadata: dict = None, **extra_arrays):
         os.makedirs(self.root, exist_ok=True)
         np.savez(
             self._npz_path(split),
             input_features=np.asarray(input_features, np.float32),
             output_features=np.asarray(output_features, np.float32),
             speaker_ids=np.asarray(speaker_ids, np.int32),
+            **{k: np.asarray(v) for k, v in extra_arrays.items()},
         )
         if metadata is not None:
             with open(os.path.join(self.root, f"{split}.meta.json"), "w") as f:

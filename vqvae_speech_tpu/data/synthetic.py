@@ -40,6 +40,12 @@ def build_synthetic_store(root: str, num_train: int = 16, num_val: int = 4,
         feats = np.asarray(
             speech_features(features_type, jnp.asarray(waves), rate, filters, True)
         )
+        names = [f"synth/p{speakers[i]:03d}/p{speakers[i]:03d}_{i:03d}.wav"
+                 for i in range(num)]
         store.write(split, feats, feats, speakers,
-                    metadata={"synthetic": True, "length": length, "rate": rate})
+                    metadata={"synthetic": True, "length": length,
+                              "rate": rate, "wav_filenames": names,
+                              "shifting_times": [0.0] * num,
+                              "random_starting_indices": [0] * num},
+                    preprocessed_audio=waves)
     return store
