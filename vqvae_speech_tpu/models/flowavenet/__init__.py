@@ -1,0 +1,7 @@
+from vqvae_speech_tpu.models.flowavenet.model import (
+    FlowavenetConfig,
+    flowavenet_init,
+    flowavenet_forward,
+    flowavenet_reverse,
+    actnorm_initialize,
+)
