@@ -1,0 +1,175 @@
+"""LJSpeech pipeline + vocoder trainer tests on a synthetic mini-corpus."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.io import wavfile
+
+from vqvae_speech_tpu.data.ljspeech import (
+    preprocess, LJSpeechDataset, LJSpeechLoader, crop_batch, HOP_LENGTH)
+from vqvae_speech_tpu.ops.mel import (
+    melspectrogram, mel_filterbank_slaney, normalized_log_mel)
+
+
+def _mini_ljspeech(root, n=4):
+    wav_dir = os.path.join(root, "wavs")
+    os.makedirs(wav_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(n):
+        name = f"LJ001-{i:04d}"
+        t = np.arange(22050) / 22050.0
+        sig = 0.5 * np.sin(2 * np.pi * (200 + 50 * i) * t)
+        sig += 0.01 * rng.standard_normal(len(t))
+        wavfile.write(os.path.join(wav_dir, name + ".wav"), 22050,
+                      (sig * 32767).astype(np.int16))
+        lines.append(f"{name}|text|normalized text {i}")
+    with open(os.path.join(root, "metadata.csv"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return root
+
+
+# ---------------- mel numerics ----------------
+
+
+def _np_slaney_mel(sr=22050, n_fft=1024, n_mels=80, fmin=125, fmax=7600):
+    """Independent numpy transcription of librosa.filters.mel."""
+    def hz2mel(hz):
+        hz = np.asarray(hz, float)
+        mel = hz / (200.0 / 3)
+        logstep = np.log(6.4) / 27.0
+        return np.where(hz >= 1000, 15.0 + np.log(hz / 1000.0) / logstep, mel)
+
+    def mel2hz(mel):
+        mel = np.asarray(mel, float)
+        hz = mel * (200.0 / 3)
+        logstep = np.log(6.4) / 27.0
+        return np.where(mel >= 15.0, 1000.0 * np.exp(logstep * (mel - 15.0)),
+                        hz)
+
+    fftfreqs = np.fft.rfftfreq(n_fft, 1.0 / sr)
+    mel_f = mel2hz(np.linspace(hz2mel(fmin), hz2mel(fmax), n_mels + 2))
+    weights = np.zeros((n_mels, len(fftfreqs)))
+    fdiff = np.diff(mel_f)
+    ramps = np.subtract.outer(mel_f, fftfreqs)
+    for i in range(n_mels):
+        lower = -ramps[i] / fdiff[i]
+        upper = ramps[i + 2] / fdiff[i + 1]
+        weights[i] = np.maximum(0, np.minimum(lower, upper))
+    enorm = 2.0 / (mel_f[2: n_mels + 2] - mel_f[:n_mels])
+    return weights * enorm[:, None]
+
+
+def test_mel_filterbank_matches_librosa_recipe():
+    got = mel_filterbank_slaney()
+    want = _np_slaney_mel()
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_melspectrogram_shapes_and_energy_location():
+    t = np.arange(22050) / 22050.0
+    sig = np.sin(2 * np.pi * 1000 * t).astype(np.float32)
+    mel = np.asarray(melspectrogram(jnp.asarray(sig[None])))
+    assert mel.shape == (1, 1 + len(sig) // 256, 80)
+    # peak mel bin should correspond to ~1 kHz
+    fb = mel_filterbank_slaney()
+    centers = np.argmax(fb, axis=1) * 22050 / 1024
+    peak_bin = int(np.argmax(mel[0].mean(axis=0)))
+    assert 800 < centers[peak_bin] < 1250
+
+
+def test_normalized_log_mel_range():
+    sig = np.random.default_rng(0).uniform(-1, 1, 22050).astype(np.float32)
+    m = np.asarray(normalized_log_mel(jnp.asarray(sig[None])))
+    assert np.all(m >= 0.0) and np.all(m <= 1.0)
+
+
+# ---------------- pipeline ----------------
+
+
+def test_preprocess_and_dataset(tmp_path):
+    root = _mini_ljspeech(str(tmp_path))
+    out = os.path.join(root, "out")
+    meta = preprocess(root, out)
+    assert len(meta) == 4
+    ds = LJSpeechDataset(out, train=True, test_size=0.25)
+    assert len(ds) == 3
+    wav, mel = ds[0]
+    assert len(wav) % HOP_LENGTH == 0
+    assert len(wav) // HOP_LENGTH == len(mel)
+    ds_test = LJSpeechDataset(out, train=False, test_size=0.25)
+    assert len(ds_test) == 1
+
+
+def test_crop_batch_alignment(tmp_path):
+    root = _mini_ljspeech(str(tmp_path))
+    out = os.path.join(root, "out")
+    preprocess(root, out)
+    ds = LJSpeechDataset(out, train=True, test_size=0.25)
+    loader = LJSpeechLoader(ds, batch_size=2, seed=0)
+    batch = next(iter(loader))
+    assert batch["x"].shape == (2, 6400, 1)
+    assert batch["y"].shape == (2, 6400)
+    assert batch["c"].shape == (2, 25, 80)
+
+
+def test_teacher_and_flow_training_steps(tmp_path):
+    root = _mini_ljspeech(str(tmp_path))
+    out = os.path.join(root, "out")
+    preprocess(root, out)
+    ds = LJSpeechDataset(out, train=True, test_size=0.25)
+    loader = LJSpeechLoader(ds, batch_size=2, seed=0, max_time_steps=2048)
+
+    from vqvae_speech_tpu.train.vocoder import (
+        make_vocoder_optimizer, create_vocoder_state, VocoderTrainer,
+        make_teacher_train_step, make_flow_train_step,
+        load_vocoder_checkpoint)
+    from vqvae_speech_tpu.models.clarinet import (
+        GaussianWaveNetConfig, gaussian_wavenet_init)
+    from vqvae_speech_tpu.models.flowavenet import (
+        FlowavenetConfig, flowavenet_init, actnorm_initialize)
+
+    key = jax.random.PRNGKey(0)
+    # tiny teacher
+    tcfg = GaussianWaveNetConfig(num_blocks=1, num_layers=2,
+                                 front_channels=4, residual_channels=8,
+                                 gate_channels=8, skip_channels=8,
+                                 kernel_size=2, cin_channels=80,
+                                 upsample_scales=(16, 16))
+    params = gaussian_wavenet_init(key, tcfg)
+    opt = make_vocoder_optimizer(1e-3, clip_norm=10.0)
+    state = create_vocoder_state(key, params, opt)
+    ckpt_dir = os.path.join(root, "ckpt")
+    trainer = VocoderTrainer(make_teacher_train_step(tcfg, opt), state,
+                             loader, ckpt_dir, "teacher")
+    loss0 = trainer.train_epoch(0)
+    assert np.isfinite(loss0)
+    assert os.path.isfile(os.path.join(ckpt_dir, "teacher_best.pkl"))
+    ckpt = load_vocoder_checkpoint(os.path.join(ckpt_dir, "teacher_best.pkl"))
+    assert ckpt["step"] == len(loader)
+
+    # tiny flow
+    fcfg = FlowavenetConfig(in_channel=1, cin_channel=80, n_block=2,
+                            n_flow=1, n_layer=1, filter_size=8,
+                            block_per_split=8, upsample_scales=(16, 16))
+    fparams = flowavenet_init(key, fcfg)
+    first = next(iter(loader))
+    fparams = actnorm_initialize(fparams, fcfg, jnp.asarray(first["x"]),
+                                 jnp.asarray(first["c"]))
+    fopt = make_vocoder_optimizer(1e-3, clip_norm=1.0)
+    fstate = create_vocoder_state(key, fparams, fopt)
+    ftrainer = VocoderTrainer(make_flow_train_step(fcfg, fopt), fstate,
+                              loader, ckpt_dir, "flow")
+    floss = ftrainer.train_epoch(0)
+    assert np.isfinite(floss)
+
+
+def test_lr_schedule_halves_at_boundaries():
+    from vqvae_speech_tpu.train.vocoder import step_lr_schedule
+
+    sched = step_lr_schedule(1e-3)
+    assert float(sched(0)) == 1e-3
+    assert abs(float(sched(200_000)) - 5e-4) < 1e-12
+    assert abs(float(sched(400_000)) - 2.5e-4) < 1e-12
+    assert abs(float(sched(600_000)) - 1.25e-4) < 1e-12

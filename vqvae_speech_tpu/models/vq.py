@@ -83,7 +83,7 @@ def vector_quantizer_apply(
     K, D = codebook.shape
     B, T, C = z_btc.shape
 
-    flat = reference_flatten(z_btc)  # (N, D), N = B*T (C == D)
+    flat = reference_flatten(z_btc, D)  # (N, D), N = B*T when C == D
     res = vq_search(flat, codebook, use_pallas=use_pallas)
     # indices are ints (no grad); the quantize matmul below is differentiable
     # XLA so the gradient variant's q-latent loss reaches the codebook even

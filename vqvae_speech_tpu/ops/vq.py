@@ -31,15 +31,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def reference_flatten(z_btc):
+def reference_flatten(z_btc, embedding_dim=None):
     """(B, T, C) -> (N, D) with the reference's (C, T, B)-order flatten.
 
     Equivalent to torch's ``z_bct.permute(1, 2, 0).contiguous().view(-1, D)``
-    where z_bct is the channels-first view of z_btc.  D == C is asserted by
-    the reshape (N = B*T since C == D).
+    where z_bct is the channels-first view of z_btc.  Normally D == C (the
+    pre-VQ conv maps to embedding_dim channels) and N = B*T; the reference's
+    raw view also supports D != C as long as C*T*B % D == 0 (e.g. arbitrary
+    tensors fed straight to the quantizer), which the reshape reproduces.
     """
-    C = z_btc.shape[2]
-    return jnp.transpose(z_btc, (2, 1, 0)).reshape(-1, C)
+    D = z_btc.shape[2] if embedding_dim is None else embedding_dim
+    return jnp.transpose(z_btc, (2, 1, 0)).reshape(-1, D)
 
 
 def reference_unflatten(flat, B, T, C):

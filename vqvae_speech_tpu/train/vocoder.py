@@ -1,0 +1,202 @@
+"""Vocoder training drivers: ClariNet teacher, IAF student distillation,
+FloWaveNet MLE — jitted steps with weight-EMA, LR halving, grad clipping.
+
+Capability-parity with the reference's standalone CLIs:
+* teacher (reference src/clarinet/train.py:42-293): Adam, LR x0.5 at
+  200k/400k/600k steps, grad-clip 10, weight-EMA shadow (decay 0.9999),
+  Gaussian NLL on ``y_hat[:-1] vs y[1:]``, best-loss checkpointing,
+* student (reference src/clarinet/train_student.py:42-403): z ~ N(0,1),
+  teacher scores student samples, KL + 4*reg + STFT frame loss,
+* flow (reference src/flow_wavenet/train.py:55-90): loss = -(log_p + logdet),
+  grad-clip 1.
+
+Each trainer is ONE compiled step (forward+backward+update+EMA) instead of
+the reference's framework-call chains.
+"""
+import os
+import pickle
+from typing import NamedTuple, Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vqvae_speech_tpu.utils.logger import ConsoleLogger
+
+
+LR_HALVING_STEPS = (200_000, 400_000, 600_000)  # reference train.py:76-87
+
+
+def step_lr_schedule(base_lr: float, boundaries=LR_HALVING_STEPS):
+    def schedule(step):
+        factor = 1.0
+        for b in boundaries:
+            factor = jnp.where(step >= b, factor * 0.5, factor)
+        return base_lr * factor
+    return schedule
+
+
+def make_vocoder_optimizer(learning_rate: float, clip_norm: float):
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.scale_by_adam(),
+        optax.scale_by_schedule(
+            lambda step: -step_lr_schedule(learning_rate)(step)),
+    )
+
+
+class VocoderTrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    ema_params: Any      # weight-EMA shadow (reference modules.py:127-138)
+    step: jax.Array
+    rng: jax.Array
+
+
+def _ema_update(ema, params, decay):
+    # reference EMA: shadow = decay * x + (1-decay) * shadow
+    # (modules.py:136-138 — note the unconventional direction: the *new*
+    # value gets weight `decay`)
+    return jax.tree_util.tree_map(
+        lambda s, p: decay * p + (1.0 - decay) * s, ema, params)
+
+
+def create_vocoder_state(key, params, optimizer):
+    return VocoderTrainState(params, optimizer.init(params),
+                             jax.tree_util.tree_map(jnp.asarray, params),
+                             jnp.zeros((), jnp.int32), key)
+
+
+def make_teacher_train_step(cfg, optimizer, ema_decay: float = 0.9999):
+    from vqvae_speech_tpu.models.clarinet import gaussian_wavenet_apply
+    from vqvae_speech_tpu.models.clarinet.loss import gaussian_loss
+
+    def loss_fn(params, batch):
+        y_hat = gaussian_wavenet_apply(params, cfg, batch["x"], batch["c"])
+        # predict the NEXT sample (reference train.py teacher forcing:
+        # y_hat[:, :, :-1] vs y[:, 1:])
+        return jnp.mean(gaussian_loss(y_hat[:, :-1], batch["x"][:, 1:]))
+
+    @jax.jit
+    def step(state: VocoderTrainState, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = _ema_update(state.ema_params, params, ema_decay)
+        return VocoderTrainState(params, opt_state, ema, state.step + 1,
+                                 state.rng), loss
+
+    return step
+
+
+def make_student_train_step(teacher_cfg, student_cfg, teacher_params,
+                            optimizer, ema_decay: float = 0.9999,
+                            kl_type: str = "qp", stft_filter: int = 1024,
+                            stft_hop: int = 256):
+    from vqvae_speech_tpu.models.clarinet import (
+        gaussian_wavenet_apply, gaussian_wavenet_upsample,
+        wavenet_student_apply)
+    from vqvae_speech_tpu.models.clarinet.loss import kl_loss, stft_frame_loss
+
+    def loss_fn(params, batch, key):
+        z = jax.random.normal(key, batch["x"].shape)
+        c_up = gaussian_wavenet_upsample(teacher_params, batch["c"],
+                                         teacher_cfg)
+        x_s, mu_s, logs_s = wavenet_student_apply(params, student_cfg, z,
+                                                  c_up)
+        mu_logs_t = gaussian_wavenet_apply(teacher_params, teacher_cfg,
+                                           x_s, batch["c"])
+        mu_t, logs_t = mu_logs_t[:, :-1, 0:1], mu_logs_t[:, :-1, 1:2]
+        if kl_type == "pq":
+            total, kl, reg = kl_loss(mu_t, logs_t, mu_s, logs_s)
+        else:
+            total, kl, reg = kl_loss(mu_s, logs_s, mu_t, logs_t)
+        frame = stft_frame_loss(x_s[:, 1:, 0], batch["x"][:, 1:, 0],
+                                stft_filter, stft_hop)
+        return total + frame, {"kl": kl, "reg": reg, "frame": frame}
+
+    @jax.jit
+    def step(state: VocoderTrainState, batch):
+        rng, sub = jax.random.split(state.rng)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, sub)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = _ema_update(state.ema_params, params, ema_decay)
+        return VocoderTrainState(params, opt_state, ema, state.step + 1,
+                                 rng), (loss, aux)
+
+    return step
+
+
+def make_flow_train_step(cfg, optimizer):
+    from vqvae_speech_tpu.models.flowavenet import flowavenet_forward
+
+    def loss_fn(params, batch):
+        log_p, logdet = flowavenet_forward(params, cfg, batch["x"],
+                                           batch["c"])
+        return -(log_p + logdet), {"log_p": log_p, "logdet": logdet}
+
+    @jax.jit
+    def step(state: VocoderTrainState, batch):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return VocoderTrainState(params, opt_state, state.ema_params,
+                                 state.step + 1, state.rng), (loss, aux)
+
+    return step
+
+
+class VocoderTrainer:
+    """Epoch loop + best-loss checkpointing (reference train.py:281-284)."""
+
+    def __init__(self, step_fn, state: VocoderTrainState, loader,
+                 checkpoint_dir: str, name: str):
+        self._step_fn = step_fn
+        self.state = state
+        self._loader = loader
+        self._dir = checkpoint_dir
+        self._name = name
+        self.best_loss = np.inf
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+    def train_epoch(self, epoch: int):
+        total, count = 0.0, 0
+        for batch in self._loader:
+            self.state, out = self._step_fn(self.state, batch)
+            loss = out[0] if isinstance(out, tuple) else out
+            total += float(loss)
+            count += 1
+        avg = total / max(count, 1)
+        ConsoleLogger.status(f"{self._name} epoch {epoch}: loss {avg:.4f}")
+        self.save(epoch, avg)
+        if avg < self.best_loss:
+            self.best_loss = avg
+            self.save(epoch, avg, best=True)
+        return avg
+
+    def save(self, epoch, loss, best=False):
+        payload = {
+            "epoch": epoch,
+            "loss": loss,
+            "params": jax.device_get(self.state.params),
+            "ema_params": jax.device_get(self.state.ema_params),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "step": int(self.state.step),
+        }
+        suffix = "best" if best else str(epoch)
+        path = os.path.join(self._dir, f"{self._name}_{suffix}.pkl")
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+        return path
+
+
+def load_vocoder_checkpoint(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
