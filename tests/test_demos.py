@@ -1,0 +1,61 @@
+"""Demo tests: 2-D direct VQ-EMA clustering and balanced VQ with dead-code
+revival (mirror of the reference's standalone demo scripts)."""
+import os
+import sys
+
+import numpy as np
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from examples.vq_2d_clustering import (
+    generate_2d_clusters, train_direct_vq, visualize)
+from examples.vq_balanced_2d import train_balanced
+from vqvae_speech_tpu.models.vq_balanced import (
+    balanced_vq_init, balanced_vq_apply)
+
+
+def test_direct_vq_clusters_2d_points(tmp_path):
+    data, labels = generate_2d_clusters(n_points=300, n_clusters=5, noise=0.2)
+    state, assignments, history = train_direct_vq(
+        data, n_epochs=60, num_embeddings=8)
+    assert assignments.shape == (300,)
+    # loss decreased
+    assert history[-1]["loss"] < history[0]["loss"]
+    # clustering quality: points in the same gt cluster mostly share a code
+    from sklearn.metrics import adjusted_rand_score
+
+    ari = adjusted_rand_score(labels, assignments)
+    assert ari > 0.5
+    out = visualize(data, labels, state, assignments, history,
+                    str(tmp_path / "demo.png"))
+    assert os.path.isfile(out)
+
+
+def test_balanced_vq_improves_coverage():
+    data, labels = generate_2d_clusters(n_points=800, n_clusters=20,
+                                        noise=0.2)
+    state, assignments, history = train_balanced(data, n_codes=20,
+                                                 n_epochs=120)
+    # balanced training should use most of the codebook
+    assert history[-1]["perplexity"] > 10.0
+    usage = np.asarray(state["usage_count"])
+    assert np.count_nonzero(usage > 0) >= 18
+
+
+def test_balanced_vq_revival_replaces_dead_codes():
+    key = jax.random.PRNGKey(0)
+    state = balanced_vq_init(key, 8, 2)
+    # put one code far away so it is never selected
+    cb = np.asarray(state["codebook"]).copy()
+    cb[0] = [100.0, 100.0]
+    state["codebook"] = jax.numpy.asarray(cb)
+    rng = np.random.default_rng(0)
+    points = jax.numpy.asarray(rng.standard_normal((500, 2)).astype(np.float32))
+    for i in range(30):
+        out = balanced_vq_apply(state, points, training=True,
+                                revival_key=jax.random.PRNGKey(i + 1))
+        state = out.new_state
+    # the far-away code must have been revived near the data
+    cb = np.asarray(state["codebook"])
+    assert np.linalg.norm(cb[0]) < 50.0

@@ -141,10 +141,10 @@ def vector_quantizer_apply(
     perplexity = jnp.exp(-jnp.sum(avg_probs * jnp.log(avg_probs + 1e-10)))
 
     # Reference-layout views for the evaluator: encodings/distances are
-    # (batch, time, K) reshapes of the (C,T,B)-order row stream
-    # (reference vector_quantizer.py:151-153).
-    distances = vq_distances(flat, codebook).reshape(B, T, K)
-    encodings = onehot.reshape(B, T, K)
+    # view(batch, time, -1) reshapes of the (C,T,B)-order row stream
+    # (reference vector_quantizer.py:151-153; the -1 matters when D != C).
+    distances = vq_distances(flat, codebook).reshape(B, T, -1)
+    encodings = onehot.reshape(B, T, -1)
 
     return VQOutput(
         vq_loss=vq_loss,
