@@ -1,0 +1,155 @@
+"""Auxiliary subsystem tests: noise injector, spectrogram dataset,
+sil-gap script, speaker/entropy stats, profiling timer."""
+import os
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from vqvae_speech_tpu.data.noise_injector import NoiseInjector, augment_tempo_gain
+from vqvae_speech_tpu.eval.speaker_stats import (
+    compute_speaker_dependency_stats, compute_entropy_distributions,
+    _js_divergence)
+from vqvae_speech_tpu.utils.profiling import StepTimer
+
+
+def _write_noise_dir(root):
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        sig = 0.1 * rng.standard_normal(32000)
+        wavfile.write(os.path.join(root, f"noise{i}.wav"), 16000,
+                      (sig * 32767).astype(np.int16))
+
+
+def test_noise_injector_snr_mixing(tmp_path):
+    noise_dir = str(tmp_path / "noise")
+    _write_noise_dir(noise_dir)
+    inj = NoiseInjector(noise_dir, 16000, (0.3, 0.3),
+                        rng=np.random.default_rng(1))
+    t = np.arange(16000) / 16000
+    clean = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    noisy = inj.inject_noise(clean.copy())
+    assert noisy.shape == clean.shape
+    added = noisy - clean
+    # energy-matched mixing: rms(added) ~= 0.3 * rms(clean)
+    ratio = np.sqrt(np.mean(added**2)) / np.sqrt(np.mean(clean**2))
+    assert 0.2 < ratio < 0.4
+
+
+def test_noise_injector_missing_dir_raises(tmp_path):
+    with pytest.raises(IOError):
+        NoiseInjector(str(tmp_path / "nope"))
+
+
+def test_augment_tempo_gain_changes_length():
+    rng = np.random.default_rng(2)
+    audio = rng.standard_normal(16000).astype(np.float32)
+    out = augment_tempo_gain(audio, rng=np.random.default_rng(3))
+    assert out.dtype == np.float32
+    assert abs(len(out) - 16000) < 16000 * 0.2
+
+
+def test_spectrogram_dataset(tmp_path):
+    wav_path = str(tmp_path / "a.wav")
+    txt_path = str(tmp_path / "a.txt")
+    t = np.arange(16000) / 16000
+    wavfile.write(wav_path, 16000,
+                  (0.5 * np.sin(2 * np.pi * 300 * t) * 32767).astype(np.int16))
+    with open(txt_path, "w") as f:
+        f.write("hello there\n")
+    manifest = str(tmp_path / "manifest.csv")
+    with open(manifest, "w") as f:
+        f.write(f"{wav_path},{txt_path}\n")
+
+    from vqvae_speech_tpu.data.spectrogram_dataset import SpectrogramDataset
+
+    ds = SpectrogramDataset(manifest, normalize=True)
+    assert len(ds) == 1
+    spect, transcript = ds[0]
+    assert transcript == "hello there"
+    assert spect.ndim == 2 and spect.shape[0] == 161  # 320//2+1 freq bins
+    assert abs(float(spect.mean())) < 1e-5  # normalized
+
+
+def test_speaker_dependency_stats(tmp_path):
+    rng = np.random.default_rng(0)
+    # speakers 0/1 use disjoint codes; speaker 2 mirrors speaker 0
+    seqs, speakers = [], []
+    for _ in range(10):
+        seqs.append(rng.integers(0, 4, 24))
+        speakers.append(0)
+        seqs.append(rng.integers(4, 8, 24))
+        speakers.append(1)
+        seqs.append(rng.integers(0, 4, 24))
+        speakers.append(2)
+    res = compute_speaker_dependency_stats(seqs, speakers, 8, str(tmp_path),
+                                           "t")
+    pairs = res["pairs"]
+    div = dict(zip(pairs, res["js_divergences"]))
+    assert div[(0, 1)] > div[(0, 2)]  # disjoint codes -> higher divergence
+    assert os.path.isfile(os.path.join(
+        str(tmp_path), "t_speaker_dependency_stats.pickle"))
+    assert os.path.isfile(os.path.join(
+        str(tmp_path), "t_speaker-dependency-plot.png"))
+
+
+def test_js_divergence_properties():
+    p = np.array([1.0, 0, 0, 0])
+    q = np.array([0, 1.0, 0, 0])
+    assert _js_divergence(p, p) < 1e-10
+    assert _js_divergence(p, q) > 0.5
+
+
+def test_entropy_distributions(tmp_path):
+    rng = np.random.default_rng(1)
+    originals = [rng.standard_normal((47, 39)) for _ in range(4)]
+    quantizeds = [rng.standard_normal((24, 8)) for _ in range(4)]
+    recons = [rng.standard_normal((47, 39)) for _ in range(4)]
+    o, q, r = compute_entropy_distributions(originals, quantizeds, recons,
+                                            str(tmp_path), "t")
+    assert len(o) == len(q) == len(r) == 4
+    assert os.path.isfile(os.path.join(str(tmp_path),
+                                       "t_entropy-stats-plot.png"))
+    assert os.path.isfile(os.path.join(str(tmp_path),
+                                       "t_original_distribution.pickle"))
+
+
+def test_sil_gap_script(tmp_path):
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    from scripts.compute_sil_duration_gap_stats import (
+        compute_sil_duration_gap_stats)
+    from tests.test_ingest import _mini_corpus
+    from vqvae_speech_tpu.data.vctk import VCTK
+    from vqvae_speech_tpu.data.export import export_to_features
+
+    root = str(tmp_path)
+    dset = _mini_corpus(root)
+    vctk = VCTK(root, ratio=0.8, shuffle_seed=0)
+    cfg = dict(sampling_rate=16000, top_db=20, length=7680, quantize=256,
+               input_features_type="mfcc", output_features_type="mfcc",
+               input_features_filters=13, output_features_filters=13,
+               input_features_dim=47, augment_output_features=True)
+    export_to_features(vctk, os.path.join(root, "features"), cfg,
+                       num_workers=2)
+    res = compute_sil_duration_gap_stats(
+        os.path.join(root, "features"), os.path.join(dset, "phonemes"),
+        out_dir=str(tmp_path / "out"))
+    assert len(res["sil_duration_gaps"]) == 2  # val split
+    assert os.path.isfile(str(tmp_path / "out" / "sil_duration_gap_stats.png"))
+
+
+def test_step_timer():
+    import time
+
+    timer = StepTimer()
+    for _ in range(3):
+        with timer.step():
+            time.sleep(0.01)
+    s = timer.summary()
+    assert s["steps"] == 3
+    assert 0.005 < s["mean_s"] < 0.1
+    assert s["steps_per_sec"] > 5

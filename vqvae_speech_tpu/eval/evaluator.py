@@ -130,6 +130,61 @@ class Evaluator:
                     self._results_path, subset)
         if o.get("plot_gradient_stats"):
             results["gradient_stats"] = self._plot_gradient_stats()
+        # Extensions beyond the reference's dispatch: the reference ships
+        # these analyses but never wires them in (evaluator.py:409-503).
+        if o.get("compute_speaker_dependency_stats") or \
+                o.get("compute_entropy_distributions"):
+            results.update(self._speaker_and_entropy_stats(
+                subset,
+                speaker=o.get("compute_speaker_dependency_stats", False),
+                entropy=o.get("compute_entropy_distributions", False)))
+        return results
+
+    def _speaker_and_entropy_stats(self, subset, speaker=True, entropy=True):
+        import jax
+        import jax.numpy as jnp
+        from vqvae_speech_tpu.models import conv_vqvae_apply
+
+        self._load_model()
+        store = self._load_store()
+        data = store.open(subset)
+        feats = np.asarray(data["input_features"], np.float32)
+        speakers = np.asarray(data["speaker_ids"])
+        norm = self._normalizer()
+        if norm is not None:
+            feats = ((feats - norm["train_mean"])
+                     / norm["train_std"]).astype(np.float32)
+
+        @jax.jit
+        def fwd(x):
+            out = conv_vqvae_apply(self._params, self._state, x, self._cfg,
+                                   training=False)
+            B = x.shape[0]
+            return (out.encoding_indices.reshape(B, -1), out.quantized,
+                    out.reconstructed_x)
+
+        indices, quantizeds, recons = [], [], []
+        for start in range(0, feats.shape[0], 16):
+            idx, q, r = jax.device_get(fwd(jnp.asarray(
+                feats[start:start + 16])))
+            indices.extend(list(idx))
+            quantizeds.extend(list(q))
+            recons.extend(list(r))
+
+        results = {}
+        if speaker:
+            from vqvae_speech_tpu.eval.speaker_stats import (
+                compute_speaker_dependency_stats)
+
+            results["speaker_dependency"] = compute_speaker_dependency_stats(
+                indices, speakers, self._cfg["num_embeddings"],
+                self._results_path, self._name)
+        if entropy:
+            from vqvae_speech_tpu.eval.speaker_stats import (
+                compute_entropy_distributions)
+
+            results["entropy_distributions"] = compute_entropy_distributions(
+                feats, quantizeds, recons, self._results_path, self._name)
         return results
 
     # ---------------- single-batch capture ----------------
