@@ -1,0 +1,84 @@
+// Native host-side ingest kernels: RMS silence trim, mu-law encode,
+// peak normalization.  These are the per-utterance CPU hot spots of the
+// corpus export path (the reference runs them in Python/numpy inside
+// DataLoader worker processes; here they are vectorized C++ called via
+// ctypes, shared-memory, no worker processes).
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libingest.so ingest.cpp
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+
+extern "C" {
+
+// Center-padded framewise RMS trim (librosa.effects.trim semantics, mirrors
+// vqvae_speech_tpu/data/audio.py:trim_silence).  Writes [start, end) sample
+// bounds; returns 0 on success.
+int rms_trim_bounds(const float* y, int64_t n, int frame_length,
+                    int hop_length, float top_db, int64_t* out_start,
+                    int64_t* out_end) {
+    if (n <= 0) { *out_start = 0; *out_end = 0; return 0; }
+    const int pad = frame_length / 2;
+    const int64_t padded = n + 2 * pad;
+    const int64_t n_frames = 1 + (padded - frame_length) / hop_length;
+
+    // prefix sums of squares over the zero-padded signal
+    // frame i covers padded indices [i*hop, i*hop+frame_length)
+    double ref = 0.0;
+    double* rms = new double[n_frames];
+    for (int64_t i = 0; i < n_frames; ++i) {
+        const int64_t lo = i * hop_length - pad;        // unpadded index
+        const int64_t hi = lo + frame_length;
+        const int64_t a = std::max<int64_t>(lo, 0);
+        const int64_t b = std::min<int64_t>(hi, n);
+        double acc = 0.0;
+        for (int64_t j = a; j < b; ++j) acc += (double)y[j] * y[j];
+        rms[i] = std::sqrt(acc / frame_length);
+        ref = std::max(ref, rms[i]);
+    }
+    if (ref <= 0.0) { *out_start = 0; *out_end = n; delete[] rms; return 0; }
+    const double threshold = ref * std::pow(10.0, -top_db / 20.0);
+    int64_t first = -1, last = -1;
+    for (int64_t i = 0; i < n_frames; ++i) {
+        if (rms[i] > threshold) { if (first < 0) first = i; last = i; }
+    }
+    delete[] rms;
+    if (first < 0) { *out_start = 0; *out_end = 0; return 0; }
+    *out_start = first * hop_length;
+    *out_end = std::min<int64_t>(n, (last + 1) * hop_length);
+    return 0;
+}
+
+// Mu-law companding into [0, mu-1] integer bins (mirrors
+// vqvae_speech_tpu/ops/mu_law.py, reference src/speech_utils/mu_law.py:34-39).
+void mu_law_encode(const float* x, int64_t n, int mu, int32_t* out) {
+    const float log1p_mu = std::log1p((float)mu);
+    const float half_mu = mu / 2.0f;
+    for (int64_t i = 0; i < n; ++i) {
+        const float v = x[i];
+        const float s = (v > 0.f) - (v < 0.f);
+        const float y = s * std::log1p(mu * std::fabs(v)) / log1p_mu;
+        int32_t idx = (int32_t)std::floor((y + 1.0f) * half_mu);
+        out[i] = std::min(std::max(idx, -1), mu - 1);
+    }
+}
+
+// In-place peak normalization; returns the peak.
+float peak_normalize(float* x, int64_t n) {
+    float peak = 0.f;
+    for (int64_t i = 0; i < n; ++i) peak = std::max(peak, std::fabs(x[i]));
+    if (peak > 0.f) {
+        const float inv = 1.0f / peak;
+        for (int64_t i = 0; i < n; ++i) x[i] *= inv;
+    }
+    return peak;
+}
+
+// int16 PCM -> float32 in [-1, 1]
+void pcm16_to_float(const int16_t* x, int64_t n, float* out) {
+    const float scale = 1.0f / 32767.0f;
+    for (int64_t i = 0; i < n; ++i) out[i] = x[i] * scale;
+}
+
+}  // extern "C"

@@ -65,18 +65,29 @@ def load_and_preprocess(path: str, sampling_rate: int = 16000,
     """Load, silence-trim (or cut a known leading-silence duration), and
     peak-normalize — reference VCTKDataset._load_wav (vctk_dataset.py:141-152).
 
+    Uses the native C++ trim/normalize kernels when available
+    (vqvae_speech_tpu/native, result-identical to the numpy path).
     Returns (audio float32 peak-normalized, trimming_time seconds).
     """
+    from vqvae_speech_tpu import native
+
     raw = load_wav(path, sampling_rate)
     if trimming_duration is None:
-        trimmed, (start, _) = trim_silence(raw, top_db)
+        if native.available():
+            start, end = native.rms_trim_bounds(raw, top_db=top_db)
+            trimmed = raw[start:end]
+        else:
+            trimmed, (start, _) = trim_silence(raw, top_db)
         trimming_time = start / sampling_rate
     else:
         trimmed = raw[int(trimming_duration * sampling_rate):]
         trimming_time = trimming_duration
-    peak = np.abs(trimmed).max()
-    if peak > 0:
-        trimmed = trimmed / peak
+    if native.available():
+        trimmed = native.peak_normalize(trimmed)
+    else:
+        peak = np.abs(trimmed).max()
+        if peak > 0:
+            trimmed = trimmed / peak
     return trimmed.astype(np.float32), trimming_time
 
 

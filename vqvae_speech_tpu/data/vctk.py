@@ -122,8 +122,7 @@ def preprocess_utterance(wav_filename: str, speaker_dic: dict,
     RMS trim), peak-normalize, mu-law quantize, pad-or-random-crop to
     length+1 samples.
     """
-    import jax.numpy as jnp
-    from vqvae_speech_tpu.ops import mu_law_encode
+    from vqvae_speech_tpu import native
 
     tg_path = textgrid_path_for_wav(wav_filename)
     sil = leading_silence_duration(tg_path) if os.path.isfile(tg_path) else 0.0
@@ -135,7 +134,9 @@ def preprocess_utterance(wav_filename: str, speaker_dic: dict,
     start_trimming = None
     if target_len is not None:
         audio, start_trimming = pad_or_random_crop(audio, target_len, rng)
-    quantized = np.asarray(mu_law_encode(jnp.asarray(audio), quantize))
+    # native mu-law when available (exact-match vs the JAX op, see
+    # tests/test_native.py); falls back to ops.mu_law_encode inside.
+    quantized = native.mu_law_encode_native(audio, quantize)
 
     speaker = pathlib.Path(wav_filename).parent.name
     shifting_time = trimming_time + (

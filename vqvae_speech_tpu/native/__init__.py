@@ -1,0 +1,111 @@
+"""Native (C++) host-side ingest kernels with transparent numpy fallback.
+
+Builds ``native/libingest.so`` on first use (g++ -O3), exposing the
+per-utterance CPU hot spots of corpus export — RMS silence trim, mu-law
+encode, peak normalization — as ctypes calls over shared numpy buffers.
+The reference's equivalent work runs as Python/numpy inside DataLoader
+worker processes (reference src/dataset/vctk_dataset.py:102-152).
+
+Public API mirrors the numpy versions and is used by data/audio.py when
+available; `available()` reports whether the native path is active.
+"""
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libingest.so")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "ingest.cpp")
+
+_lib = None
+_tried = False
+
+
+def _build():
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+         "-o", _SO_PATH, _SRC_PATH],
+        check=True, capture_output=True)
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if (not os.path.isfile(_SO_PATH)
+                or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH)):
+            _build()
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.rms_trim_bounds.restype = ctypes.c_int
+        lib.rms_trim_bounds.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_float, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.mu_law_encode.restype = None
+        lib.mu_law_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.peak_normalize.restype = ctypes.c_float
+        lib.peak_normalize.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _fptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def rms_trim_bounds(y: np.ndarray, frame_length: int = 2048,
+                    hop_length: int = 512, top_db: float = 20.0):
+    """(start, end) sample bounds of the non-silent region."""
+    lib = _load()
+    y = np.ascontiguousarray(y, np.float32)
+    if lib is None:
+        from vqvae_speech_tpu.data.audio import trim_silence
+
+        _, bounds = trim_silence(y, top_db, frame_length, hop_length)
+        return bounds
+    start = ctypes.c_int64()
+    end = ctypes.c_int64()
+    lib.rms_trim_bounds(_fptr(y), y.size, frame_length, hop_length,
+                        ctypes.c_float(top_db), ctypes.byref(start),
+                        ctypes.byref(end))
+    return int(start.value), int(end.value)
+
+
+def mu_law_encode_native(x: np.ndarray, mu: int = 256) -> np.ndarray:
+    lib = _load()
+    x = np.ascontiguousarray(x, np.float32)
+    if lib is None:
+        import jax.numpy as jnp
+        from vqvae_speech_tpu.ops.mu_law import mu_law_encode
+
+        return np.asarray(mu_law_encode(jnp.asarray(x), mu))
+    out = np.empty(x.shape, np.int32)
+    lib.mu_law_encode(_fptr(x), x.size, mu,
+                      out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
+
+
+def peak_normalize(x: np.ndarray) -> np.ndarray:
+    """Returns a peak-normalized copy."""
+    lib = _load()
+    x = np.ascontiguousarray(x, np.float32).copy()
+    if lib is None:
+        peak = np.abs(x).max()
+        return x / peak if peak > 0 else x
+    lib.peak_normalize(_fptr(x), x.size)
+    return x
