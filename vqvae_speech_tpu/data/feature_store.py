@@ -139,9 +139,13 @@ class FeatureLoader:
                 std = self._normalizer["train_std"].astype(np.float32)
                 inp = (inp - mean) / std
                 out = (out - mean) / std
-            yield {
+            batch = {
                 "input_features": inp,
                 "output_features": out,
                 "speaker_id": np.asarray(self._data["speaker_ids"][idx], np.int32),
                 "index": idx.astype(np.int32),
             }
+            if "preprocessed_audio" in self._data.files:
+                batch["preprocessed_audio"] = np.asarray(
+                    self._data["preprocessed_audio"][idx], np.float32)
+            yield batch

@@ -220,6 +220,12 @@ def wavenet_apply(params, cfg: WaveNetConfig, x, c=None, g=None,
     g_btc = _expand_global(params, g, B, T, cfg)
     if c is not None and cfg.upsample_conditional_features:
         c = _upsample_lc(params, c, cfg)
+        # allow LC upsampled beyond the audio length (e.g. 24 latents x 384 =
+        # 9216 frames conditioning 7680 samples) — trim to T.  The reference
+        # asserts exact equality (wavenet.py:247), which makes its WaveNet
+        # decoder config unusable; trimming makes the path trainable.
+        assert c.shape[1] >= T, (c.shape, T)
+        c = c[:, :T]
 
     x = conv1d(params["first_conv"], x)
     skips = None

@@ -89,10 +89,20 @@ class Experiment:
 
     def build_trainer(self, training_loader=None):
         cfg = self.configuration
-        if cfg.get("decoder_type", "deconvolutional") != "deconvolutional":
+        decoder_type = cfg.get("decoder_type", "deconvolutional")
+        if decoder_type == "wavenet":
+            # extension beyond the reference (whose PipelineFactory raises
+            # for any non-deconvolutional decoder, pipeline_factory.py:52-53)
+            from vqvae_speech_tpu.train.wavenet_trainer import WaveNetTrainer
+
+            if training_loader is None:
+                training_loader = self._build_loader()
+            return WaveNetTrainer(
+                cfg, training_loader, self.experiments_path, self.name,
+                num_speakers=cfg.get("num_speakers", 128), seed=self.seed)
+        if decoder_type != "deconvolutional":
             raise NotImplementedError(
-                f"decoder_type {cfg['decoder_type']!r} has no trainer pipeline "
-                "(parity with reference pipeline_factory.py:52-53)")
+                f"decoder_type {cfg['decoder_type']!r} has no trainer pipeline")
         if training_loader is None:
             training_loader = self._build_loader()
 
