@@ -160,10 +160,19 @@ def vq_search_pallas(flat, codebook, tile_n: int = 512):
     return VQSearchResult(idx[:N, 0], q[:N], counts[0], dw)
 
 
+# Below this many distance-matrix elements the fused kernel's launch/padding
+# overhead loses to XLA's own fusion (measured on v5e: XLA wins at the
+# flagship's 6k x 44, Pallas wins at 65k x 512).
+_PALLAS_MIN_ELEMENTS = 4 << 20
+
+
 def vq_search(flat, codebook, use_pallas: bool = None):
-    """Dispatch: Pallas on TPU backends, XLA elsewhere."""
+    """Dispatch: fused Pallas kernel on TPU for large problems, XLA
+    otherwise (size heuristic measured on v5e — see _PALLAS_MIN_ELEMENTS)."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and flat.shape[0] * codebook.shape[0] >= _PALLAS_MIN_ELEMENTS)
     if use_pallas:
         return vq_search_pallas(flat, codebook)
     return vq_search_xla(flat, codebook)
