@@ -69,17 +69,29 @@ def _step_layer(lw, x_t, buf, t, cond_t, cfg: WaveNetConfig, dilation):
     return (out + x_t) * math.sqrt(0.5), skip, new_buf
 
 
-@partial(jax.jit, static_argnames=("cfg", "T", "sample"))
+@partial(jax.jit, static_argnames=("cfg", "T", "sample", "compute_dtype"))
 def wavenet_incremental_generate(params, cfg: WaveNetConfig, rng, T: int,
                                  c=None, g=None, initial_input=None,
                                  sample: bool = True,
-                                 log_scale_min: float = -50.0):
+                                 log_scale_min: float = -50.0,
+                                 compute_dtype=None):
     """Generate T samples autoregressively.
 
     c: (B, Tc, cin) local conditioning (upsampled here when configured);
     g: (B,) speaker ids.  Returns (outputs (B, T, out_channels),
     sampled (B, T) int32 bins or (B, T) floats for scalar_input).
+
+    ``compute_dtype=jnp.bfloat16`` halves the per-step HBM weight traffic —
+    the bound for batch-1 decode (the whole layer stack streams from HBM
+    every step); logits are produced in float32 either way.  Batch multiple
+    utterances to amortize the weight reads for serving throughput.
     """
+    if compute_dtype is not None:
+        params = jax.tree_util.tree_map(
+            lambda v: v.astype(compute_dtype)
+            if jnp.issubdtype(v.dtype, jnp.floating) else v, params)
+        if c is not None:
+            c = c.astype(compute_dtype)
     if c is not None:
         B = c.shape[0]
         if cfg.upsample_conditional_features:
@@ -108,12 +120,13 @@ def wavenet_incremental_generate(params, cfg: WaveNetConfig, rng, T: int,
                   if any(have_cond) else None)  # (Lc, B, T, gate)
 
     in_ch = 1 if cfg.scalar_input else cfg.out_channels
+    dtype = compute_dtype or jnp.float32
     if initial_input is None:
-        x0 = jnp.zeros((B, in_ch))
+        x0 = jnp.zeros((B, in_ch), dtype)
         if not cfg.scalar_input:
             x0 = x0.at[:, 127].set(1.0)  # mulaw mid bin (reference :345-348)
     else:
-        x0 = initial_input.reshape(B, in_ch)
+        x0 = initial_input.reshape(B, in_ch).astype(dtype)
 
     # Materialize all weight-norm kernels ONCE (outside the scan body).
     w_first = conv_weight(params["first_conv"])[0]
@@ -154,7 +167,8 @@ def wavenet_incremental_generate(params, cfg: WaveNetConfig, rng, T: int,
                     skips = skips * math.sqrt(0.5)
         out = jax.nn.relu(skips)
         out = jax.nn.relu(out @ w_last1 + b_last1)
-        out = out @ w_last2 + b_last2                  # (B, out_channels)
+        # logits in f32 regardless of compute dtype (stable sampling)
+        out = (out @ w_last2 + b_last2).astype(jnp.float32)
 
         if cfg.scalar_input:
             if sample:

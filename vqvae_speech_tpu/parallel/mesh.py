@@ -21,6 +21,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None):
+    """Multi-host (DCN) initialization: call once per host before building
+    the mesh; afterwards `jax.devices()` spans all hosts and the same
+    mesh/sharding code scales over DCN.  No-op when already initialized or
+    single-process (the TPU-native replacement for a torch.distributed init
+    — the reference has none)."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    if coordinator_address is None:
+        return  # single-host run
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
 def make_mesh(num_data: Optional[int] = None, num_model: int = 1,
               devices=None) -> Mesh:
     """Build a (data, model) mesh over the available devices."""
