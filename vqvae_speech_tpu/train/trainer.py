@@ -177,13 +177,15 @@ class ConvolutionalTrainer:
         cfg = self._config
         ConsoleLogger.status(f"start epoch: {self._start_epoch}")
         ConsoleLogger.status(f"num epoch: {cfg['num_epochs']}")
+        from vqvae_speech_tpu.data.prefetch import prefetch_to_device
+
         for epoch in range(self._start_epoch, cfg["num_epochs"]):
             losses_list, perplexity_list = [], []
             n_iter = len(self._loader)
             step_rec = max(int(n_iter / self._iterations_to_record) - 1, 1)
             record_iters = set(np.arange(0, n_iter, step=step_rec, dtype=int))
-            for iteration, batch in enumerate(self._loader):
-                batch = self._put_batch(batch)
+            batches = prefetch_to_device(iter(self._loader), mesh=self._mesh)
+            for iteration, batch in enumerate(batches):
                 if (cfg.get("record_gradient_stats")
                         and iteration in record_iters):
                     self._record_gradient_stats(batch, epoch, iteration)
