@@ -154,13 +154,17 @@ def bench_torch(batch=16, iters=4):
 
 
 def main():
-    torch_fps = bench_torch()
     jax_fps = bench_jax()
+    try:
+        torch_fps = bench_torch()
+        vs_baseline = round(jax_fps / torch_fps, 2)
+    except Exception:
+        vs_baseline = None
     print(json.dumps({
         "metric": "mfcc_encode_vq_throughput",
         "value": round(jax_fps, 1),
         "unit": "frames/s/chip",
-        "vs_baseline": round(jax_fps / torch_fps, 2),
+        "vs_baseline": vs_baseline,
     }))
 
 
