@@ -120,7 +120,8 @@ def wavenet_incremental_generate(params, cfg: WaveNetConfig, rng, T: int,
                   if any(have_cond) else None)  # (Lc, B, T, gate)
 
     in_ch = 1 if cfg.scalar_input else cfg.out_channels
-    dtype = compute_dtype or jnp.float32
+    # activation dtype follows the parameters (compute_dtype cast them above)
+    dtype = params["first_conv"]["b"].dtype
     if initial_input is None:
         x0 = jnp.zeros((B, in_ch), dtype)
         if not cfg.scalar_input:
