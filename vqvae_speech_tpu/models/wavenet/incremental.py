@@ -90,8 +90,10 @@ def wavenet_incremental_generate(params, cfg: WaveNetConfig, rng, T: int,
         params = jax.tree_util.tree_map(
             lambda v: v.astype(compute_dtype)
             if jnp.issubdtype(v.dtype, jnp.floating) else v, params)
-        if c is not None:
-            c = c.astype(compute_dtype)
+    # activation dtype follows the parameters
+    act_dtype = params["first_conv"]["b"].dtype
+    if c is not None:
+        c = c.astype(act_dtype)
     if c is not None:
         B = c.shape[0]
         if cfg.upsample_conditional_features:
@@ -120,8 +122,7 @@ def wavenet_incremental_generate(params, cfg: WaveNetConfig, rng, T: int,
                   if any(have_cond) else None)  # (Lc, B, T, gate)
 
     in_ch = 1 if cfg.scalar_input else cfg.out_channels
-    # activation dtype follows the parameters (compute_dtype cast them above)
-    dtype = params["first_conv"]["b"].dtype
+    dtype = act_dtype
     if initial_input is None:
         x0 = jnp.zeros((B, in_ch), dtype)
         if not cfg.scalar_input:
