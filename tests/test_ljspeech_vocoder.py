@@ -173,3 +173,16 @@ def test_lr_schedule_halves_at_boundaries():
     assert abs(float(sched(200_000)) - 5e-4) < 1e-12
     assert abs(float(sched(400_000)) - 2.5e-4) < 1e-12
     assert abs(float(sched(600_000)) - 1.25e-4) < 1e-12
+
+
+def test_mulaw_quantize_preprocess_mode(tmp_path):
+    root = _mini_ljspeech(str(tmp_path))
+    out = os.path.join(root, "out_mulaw")
+    meta = preprocess(root, out, input_type="mulaw-quantize")
+    assert len(meta) == 4
+    audio = np.load(os.path.join(out, meta[0][0]))
+    assert audio.dtype == np.int16
+    assert audio.min() >= 0 and audio.max() < 256
+    assert len(audio) % HOP_LENGTH == 0
+    mel = np.load(os.path.join(out, meta[0][1]))
+    assert len(audio) // HOP_LENGTH == mel.shape[0]

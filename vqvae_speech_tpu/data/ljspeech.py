@@ -25,27 +25,64 @@ HOP_LENGTH = 256
 MAX_TIME_STEPS = 6400  # reference data.py:33
 
 
-def process_utterance(out_dir, index, wav_path):
-    """One utterance -> (audio_filename, mel_filename, timesteps)
-    (reference preprocessing.py:49-96)."""
+def start_and_end_indices(quantized, silence_threshold: int = 2,
+                          mid: int = 128):
+    """First/last indices where the mu-law signal leaves the silence band
+    around the zero bin (reference r9y9 audio.start_and_end_indices used at
+    src/dataset/ljspeech.py:67)."""
+    loud = np.abs(quantized.astype(np.int64) - mid) > silence_threshold
+    nz = np.nonzero(loud)[0]
+    if len(nz) == 0:
+        return 0, len(quantized)
+    return int(nz[0]), int(nz[-1]) + 1
+
+
+def process_utterance(out_dir, index, wav_path, input_type: str = "raw",
+                      quantize_channels: int = 256,
+                      silence_threshold: int = 2):
+    """One utterance -> (audio_filename, mel_filename, timesteps).
+
+    input_type 'raw' follows the ClariNet/FloWaveNet preprocessing
+    (reference src/clarinet/preprocessing.py:49-96); 'mulaw-quantize'
+    follows the r9y9-style pipeline (reference src/dataset/ljspeech.py:55-107):
+    mu-law bins as int16 with silence trimming around the zero bin, padded
+    with the mu-law zero bin.
+    """
+    from vqvae_speech_tpu.models.wavenet.util import is_mulaw_quantize
+    from vqvae_speech_tpu.ops.mu_law import mu_law_encode
+
     wav = load_wav(wav_path, SR)
     wav = wav / np.abs(wav).max() * 0.999
+
+    if is_mulaw_quantize(input_type):
+        out = np.asarray(mu_law_encode(jnp.asarray(wav), quantize_channels))
+        start, end = start_and_end_indices(out, silence_threshold,
+                                           quantize_channels // 2)
+        wav, out = wav[start:end], out[start:end]
+        constant_values = quantize_channels // 2
+        out_dtype = np.int16
+    else:
+        out = wav
+        constant_values = 0.0
+        out_dtype = np.float32
+
     mel = np.asarray(normalized_log_mel(jnp.asarray(wav)), np.float32)
     N = mel.shape[0]
     pad = (len(wav) // HOP_LENGTH + 1) * HOP_LENGTH - len(wav)
-    out = np.pad(wav, (pad // 2, pad // 2 + pad % 2))
+    out = np.pad(out, (pad // 2, pad // 2 + pad % 2),
+                 constant_values=constant_values)
     assert len(out) >= N * HOP_LENGTH
     out = out[: N * HOP_LENGTH]
 
     audio_filename = f"ljspeech-audio-{index:05d}.npy"
     mel_filename = f"ljspeech-mel-{index:05d}.npy"
-    np.save(os.path.join(out_dir, audio_filename), out.astype(np.float32),
+    np.save(os.path.join(out_dir, audio_filename), out.astype(out_dtype),
             allow_pickle=False)
     np.save(os.path.join(out_dir, mel_filename), mel, allow_pickle=False)
     return audio_filename, mel_filename, len(out)
 
 
-def preprocess(in_dir, out_dir, limit=None):
+def preprocess(in_dir, out_dir, limit=None, input_type: str = "raw"):
     """metadata.csv -> npy pairs + train.txt (reference preprocessing.py)."""
     os.makedirs(out_dir, exist_ok=True)
     metadata = []
@@ -56,7 +93,8 @@ def preprocess(in_dir, out_dir, limit=None):
             parts = line.strip().split("|")
             wav_path = os.path.join(in_dir, "wavs", f"{parts[0]}.wav")
             text = parts[-1]
-            a, m, t = process_utterance(out_dir, i + 1, wav_path)
+            a, m, t = process_utterance(out_dir, i + 1, wav_path,
+                                        input_type=input_type)
             metadata.append((a, m, t, text))
     with open(os.path.join(out_dir, "train.txt"), "w", encoding="utf-8") as f:
         for m in metadata:
