@@ -72,3 +72,41 @@ def test_prefetch_with_mesh_shards():
     batches = [{"a": np.arange(16, dtype=np.float32).reshape(8, 2)}]
     out = list(prefetch_to_device(iter(batches), mesh=mesh))
     assert out[0]["a"].sharding.spec == P("data")
+
+
+def test_sharded_vq_search_matches_single_device():
+    from vqvae_speech_tpu.parallel.sharded_vq import (
+        sharded_vq_search, place_sharded_codebook)
+    from vqvae_speech_tpu.ops.vq import vq_search_xla
+
+    mesh = make_mesh(num_data=4, num_model=2)
+    rng = np.random.default_rng(0)
+    flat = jnp.asarray(rng.standard_normal((96, 64)).astype(np.float32))
+    cb_host = rng.standard_normal((128, 64)).astype(np.float32)
+    cb = place_sharded_codebook(jnp.asarray(cb_host), mesh)
+
+    idx, mins = jax.jit(
+        lambda f, c: sharded_vq_search(f, c, mesh))(flat, cb)
+    want = vq_search_xla(flat, jnp.asarray(cb_host))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(want.indices))
+    # min distances match the full matrix minima
+    from vqvae_speech_tpu.ops.vq import vq_distances
+
+    d = np.asarray(vq_distances(flat, jnp.asarray(cb_host)))
+    np.testing.assert_allclose(np.asarray(mins), d.min(axis=1),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_vq_search_8way():
+    from vqvae_speech_tpu.parallel.sharded_vq import (
+        sharded_vq_search, place_sharded_codebook)
+    from vqvae_speech_tpu.ops.vq import vq_search_xla
+
+    mesh = make_mesh(num_data=1, num_model=8)
+    rng = np.random.default_rng(1)
+    flat = jnp.asarray(rng.standard_normal((48, 16)).astype(np.float32))
+    cb_host = rng.standard_normal((64, 16)).astype(np.float32)
+    cb = place_sharded_codebook(jnp.asarray(cb_host), mesh)
+    idx, _ = sharded_vq_search(flat, cb, mesh)
+    want = vq_search_xla(flat, jnp.asarray(cb_host))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(want.indices))
