@@ -55,19 +55,22 @@ def bench_jax(batch=256, iters=20):
     params, state = conv_vqvae_init(jax.random.PRNGKey(0), cfg)
 
     @jax.jit
-    def encode(waves):
-        feats = speech_features("mfcc", waves, RATE, NUMCEP, True)
+    def encode(waves, gain):
+        # `gain` varies per call so every dispatch is a distinct computation
+        # (defeats any dispatch-level caching in the runtime/tunnel)
+        feats = speech_features("mfcc", waves * gain, RATE, NUMCEP, True)
         out = conv_vqvae_encode(params, state, feats.astype(jnp.float32), cfg,
                                 training=False)
         return out.indices
 
     waves = jnp.asarray(_make_waves(batch))
     # warmup/compile
-    jax.block_until_ready(encode(waves))
+    jax.block_until_ready(encode(waves, jnp.float32(1.0)))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        idx = encode(waves)
-    jax.block_until_ready(idx)
+    for i in range(iters):
+        idx = encode(waves, jnp.float32(1.0 + 1e-6 * i))
+    # device executes dispatches in order; waiting on the last bounds all
+    int(idx[0])
     dt = time.perf_counter() - t0
     frames = batch * FRAMES * iters
     return frames / dt
