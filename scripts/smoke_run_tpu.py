@@ -44,7 +44,7 @@ def main(root="smoke_run", epochs=8, num_train=200, num_val=24):
         use_data_parallel=False, use_device=None, sampling_rate=16000,
         res_type="kaiser_fast", top_db=20, length=7680, quantize=256,
         num_hiddens=768, input_dim=256, num_embeddings=44, embedding_dim=64,
-        commitment_cost=0.25, decay=0.0, residual_channels=768,
+        commitment_cost=0.25, decay=0.99, residual_channels=768,
         num_residual_layers=2, input_features_type="mfcc",
         output_features_type="mfcc", input_features_dim=47,
         input_features_filters=13, output_features_dim=47,

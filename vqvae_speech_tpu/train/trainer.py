@@ -219,9 +219,14 @@ class ConvolutionalTrainer:
         return np.asarray(self._state.params["vq"]["codebook"])
 
     def _record_codebook_stats(self, batch, epoch, iteration):
-        from vqvae_speech_tpu.models import conv_vqvae_apply as fwd
-        out = fwd(self._state.params, self._state.model_state,
-                  batch["input_features"], self._config, training=False)
+        if not hasattr(self, "_record_fwd"):
+            from vqvae_speech_tpu.models import conv_vqvae_apply
+
+            self._record_fwd = jax.jit(
+                lambda p, s, x: conv_vqvae_apply(p, s, x, self._config,
+                                                 training=False))
+        out = self._record_fwd(self._state.params, self._state.model_state,
+                               batch["input_features"])
         embedding = self._codebook()
         idx = np.asarray(out.encoding_indices)
         entry = {
