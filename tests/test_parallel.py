@@ -110,3 +110,26 @@ def test_sharded_vq_search_8way():
     idx, _ = sharded_vq_search(flat, cb, mesh)
     want = vq_search_xla(flat, jnp.asarray(cb_host))
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(want.indices))
+
+
+def test_sequence_parallel_encoder_time_sharding():
+    """Sequence parallelism: the encoder's convs run with the TIME axis
+    sharded over the mesh — XLA GSPMD inserts the halo exchanges for the
+    k3/k4 convolution windows automatically.  Results must match the
+    unsharded forward (long-utterance scaling path, SURVEY.md 2.10/5)."""
+    from jax.sharding import NamedSharding
+    from vqvae_speech_tpu.models.encoder import (
+        convolutional_encoder_init, convolutional_encoder_apply)
+
+    mesh = make_mesh(num_data=8, num_model=1)
+    params = convolutional_encoder_init(jax.random.PRNGKey(0), 39, 32, 2, 32)
+    x = np.random.default_rng(0).standard_normal((1, 192, 39)).astype(np.float32)
+
+    want = np.asarray(convolutional_encoder_apply(params, jnp.asarray(x), 2))
+
+    seq_sharding = NamedSharding(mesh, P(None, "data", None))
+    x_sharded = jax.device_put(jnp.asarray(x), seq_sharding)
+    fwd = jax.jit(lambda p, v: convolutional_encoder_apply(p, v, 2),
+                  in_shardings=(NamedSharding(mesh, P()), seq_sharding))
+    got = fwd(params, x_sharded)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
