@@ -145,3 +145,20 @@ def test_clustering_metrics_evolution_and_stability(tmp_path):
     out1 = compute_clustering_metrics_evolution(names, rp)
     out2 = check_clustering_metrics_stability_over_seeds(names, rp)
     assert os.path.isfile(out1) and os.path.isfile(out2)
+
+
+def test_denormalization_and_speaker_entropy_options(tmp_path):
+    root, exps, store_root = _full_setup(tmp_path)
+    results = exps.evaluate({
+        "test_denormalization": True,
+        "compute_speaker_dependency_stats": True,
+        "compute_entropy_distributions": True,
+        "alignment_subset": "val",
+    })["ev"]
+    rp = os.path.join(root, "results")
+    assert os.path.isfile(os.path.join(rp, "ev_test-denormalization-plot.png"))
+    # the divergence plot needs >= 2 speakers in the split; the pickle is
+    # always written
+    assert os.path.isfile(os.path.join(
+        rp, "ev_speaker_dependency_stats.pickle"))
+    assert os.path.isfile(os.path.join(rp, "ev_entropy-stats-plot.png"))

@@ -93,12 +93,16 @@ class Evaluator:
         need_once = (o.get("plot_comparaison_plot")
                      or o.get("plot_quantized_embedding_spaces")
                      or o.get("plot_distances_histogram"))
+        need_once = need_once or o.get("test_denormalization")
         if need_once:
             self._load_model()
             entry = self._evaluate_once()
             if o.get("plot_comparaison_plot"):
                 results["comparaison_plot"] = \
                     self._compute_comparaison_plot(entry)
+            if o.get("test_denormalization"):
+                results["denormalization"] = \
+                    self._test_denormalization(entry)
             if o.get("plot_quantized_embedding_spaces"):
                 results["embedding_spaces"] = \
                     self._plot_quantized_embedding_spaces(entry)
@@ -340,6 +344,41 @@ class Evaluator:
                     density=True)
         out = os.path.join(self._results_path,
                            f"{self._name}_distances-histogram-plot.png")
+        fig.savefig(out, bbox_inches="tight", pad_inches=0)
+        plt.close(fig)
+        return out
+
+    def _test_denormalization(self, entry):
+        """Four-panel plot: normalized + denormalized originals and
+        reconstructions (reference evaluator.py:276-306)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        norm = self._normalizer()
+        originals = entry["valid_originals"][0].T       # (C, T)
+        recon = entry["valid_reconstructions"].T
+        if norm is not None:
+            denorm_orig = (norm["train_std"][:, None] * originals
+                           + norm["train_mean"][:, None])
+            denorm_recon = (norm["train_std"][:, None] * recon
+                            + norm["train_mean"][:, None])
+        else:
+            denorm_orig, denorm_recon = originals, recon
+
+        fig, axs = plt.subplots(4, 1, figsize=(20, 12), sharex=True)
+        panels = [("Augmented MFCC + d + a of the original speech signal",
+                   originals),
+                  ("Actual reconstruction", recon),
+                  ("Denormalized target", denorm_orig),
+                  ("Denormalized reconstruction", denorm_recon)]
+        for ax, (title, data) in zip(axs, panels):
+            ax.set_title(title)
+            self._plot_pcolormesh(
+                np.asarray(data), fig,
+                x=self._compute_unified_time_scale(data.shape[1]), axis=ax)
+        out = os.path.join(self._results_path,
+                           f"{self._name}_test-denormalization-plot.png")
         fig.savefig(out, bbox_inches="tight", pad_inches=0)
         plt.close(fig)
         return out
