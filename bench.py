@@ -70,7 +70,7 @@ def bench_jax(batch=256, iters=20):
     for i in range(iters):
         idx = encode(waves, jnp.float32(1.0 + 1e-6 * i))
     # device executes dispatches in order; waiting on the last bounds all
-    int(idx[0])
+    int(idx[0, 0])
     dt = time.perf_counter() - t0
     frames = batch * FRAMES * iters
     return frames / dt
