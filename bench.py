@@ -55,22 +55,25 @@ def bench_jax(batch=256, iters=20):
     params, state = conv_vqvae_init(jax.random.PRNGKey(0), cfg)
 
     @jax.jit
-    def encode(waves, gain):
-        # `gain` varies per call so every dispatch is a distinct computation
-        # (defeats any dispatch-level caching in the runtime/tunnel)
-        feats = speech_features("mfcc", waves * gain, RATE, NUMCEP, True)
-        out = conv_vqvae_encode(params, state, feats.astype(jnp.float32), cfg,
-                                training=False)
-        return out.indices
+    def encode_many(waves):
+        # ONE device program iterating the encode `iters` times via scan:
+        # amortizes host->device dispatch latency and defeats any
+        # dispatch-level caching (each iteration scales the input, so no two
+        # iterations are identical computations)
+        def body(carry, gain):
+            feats = speech_features("mfcc", waves * gain, RATE, NUMCEP, True)
+            out = conv_vqvae_encode(params, state,
+                                    feats.astype(jnp.float32), cfg,
+                                    training=False)
+            return carry + out.indices[0, 0], None
+        gains = 1.0 + 1e-6 * jnp.arange(iters, dtype=jnp.float32)
+        total, _ = jax.lax.scan(body, jnp.int32(0), gains)
+        return total
 
     waves = jnp.asarray(_make_waves(batch))
-    # warmup/compile
-    jax.block_until_ready(encode(waves, jnp.float32(1.0)))
+    int(encode_many(waves))  # warmup/compile + full execution
     t0 = time.perf_counter()
-    for i in range(iters):
-        idx = encode(waves, jnp.float32(1.0 + 1e-6 * i))
-    # device executes dispatches in order; waiting on the last bounds all
-    int(idx[0, 0])
+    int(encode_many(waves))  # host fetch bounds completion
     dt = time.perf_counter() - t0
     frames = batch * FRAMES * iters
     return frames / dt

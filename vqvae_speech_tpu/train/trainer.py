@@ -185,18 +185,22 @@ class ConvolutionalTrainer:
             step_rec = max(int(n_iter / self._iterations_to_record) - 1, 1)
             record_iters = set(np.arange(0, n_iter, step=step_rec, dtype=int))
             batches = prefetch_to_device(iter(self._loader), mesh=self._mesh)
+            device_metrics = []
             for iteration, batch in enumerate(batches):
                 if (cfg.get("record_gradient_stats")
                         and iteration in record_iters):
                     self._record_gradient_stats(batch, epoch, iteration)
                 self._state, metrics = self._step(self._state, batch)
-                metrics = jax.device_get(metrics)
-                metrics = {k: float(v) for k, v in metrics.items()}
-                perplexity_list.append(metrics.pop("perplexity"))
-                losses_list.append(metrics)
+                # keep metrics on device: fetching per step would force a
+                # host sync and stall the dispatch pipeline
+                device_metrics.append(metrics)
                 if (cfg.get("record_codebook_stats")
                         and iteration in record_iters):
                     self._record_codebook_stats(batch, epoch, iteration)
+            for metrics in jax.device_get(device_metrics):
+                metrics = {k: float(v) for k, v in metrics.items()}
+                perplexity_list.append(metrics.pop("perplexity"))
+                losses_list.append(metrics)
             ConsoleLogger.status(
                 "Epoch {}: loss {:.4f} perplexity {:.3f}".format(
                     epoch + 1, losses_list[-1]["loss"], perplexity_list[-1]))
