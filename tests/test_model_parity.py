@@ -174,3 +174,36 @@ def test_latent_time_resolution():
     assert out.quantized.shape == (1, 24, CFG["embedding_dim"])
     assert out.encoding_indices.shape == (24, 1)
     assert out.reconstructed_x.shape == (1, 47, 39)
+
+
+def test_long_length_config_shapes():
+    """The lengths-sweep config (30720 samples -> 191 frames,
+    configurations/experiments_vq44-mfcc39-lengths.json) flows through the
+    model: 191 -> 96 latents -> 195 decoder frames -> trim 191."""
+    cfg = dict(CFG)
+    params, state = conv_vqvae_init(jax.random.PRNGKey(2), cfg)
+    x = jnp.zeros((1, 191, 39))
+    out = conv_vqvae_apply(params, state, x, cfg, training=False,
+                           use_pallas=False)
+    assert out.quantized.shape == (1, 96, cfg["embedding_dim"])
+    assert out.reconstructed_x.shape == (1, 191, 39)
+
+
+def test_speaker_conditioning_path():
+    """use_speaker_conditioning concatenates a 40-dim speaker embedding
+    before the decoder's first conv (reference
+    deconvolutional_decoder.py:56,108-111)."""
+    cfg = dict(CFG)
+    cfg.update(use_speaker_conditioning=True, num_speakers=5)
+    params, state = conv_vqvae_init(jax.random.PRNGKey(3), cfg)
+    assert "speaker_embedding" in params["decoder"]
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 47, 39))
+    out = conv_vqvae_apply(params, state, x, cfg, training=False,
+                           speaker_ids=jnp.array([0, 3]), use_pallas=False)
+    assert out.reconstructed_x.shape == (2, 47, 39)
+    # different speakers give different reconstructions of the same input
+    same = jnp.stack([x[0], x[0]])
+    out2 = conv_vqvae_apply(params, state, same, cfg, training=False,
+                            speaker_ids=jnp.array([0, 3]), use_pallas=False)
+    assert not np.allclose(np.asarray(out2.reconstructed_x[0]),
+                           np.asarray(out2.reconstructed_x[1]))
