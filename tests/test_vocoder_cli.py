@@ -1,0 +1,64 @@
+"""Vocoder CLI end-to-end: preprocess -> train-teacher/train-flow ->
+synthesize (tiny presets), producing real wav files."""
+import os
+
+import numpy as np
+from scipy.io import wavfile
+
+from vqvae_speech_tpu.vocoder_main import main
+from tests.test_ljspeech_vocoder import _mini_ljspeech
+
+
+def test_cli_preprocess_train_synthesize(tmp_path):
+    root = _mini_ljspeech(str(tmp_path))
+    data = os.path.join(root, "lj")
+    assert main(["preprocess", "--in_dir", root, "--out_dir", data]) == 0
+
+    ckpt_dir = os.path.join(root, "ckpt")
+    assert main(["train-teacher", "--data_root", data,
+                 "--checkpoint_dir", ckpt_dir, "--epochs", "1",
+                 "--batch_size", "2", "--tiny"]) == 0
+    teacher_ckpt = os.path.join(ckpt_dir, "teacher_best.pkl")
+    assert os.path.isfile(teacher_ckpt)
+
+    # student distillation (1 epoch, tiny)
+    assert main(["train-student", "--data_root", data,
+                 "--checkpoint_dir", ckpt_dir, "--epochs", "1",
+                 "--batch_size", "2", "--tiny",
+                 "--teacher_checkpoint", teacher_ckpt]) == 0
+    student_ckpt = os.path.join(ckpt_dir, "student_best.pkl")
+    assert os.path.isfile(student_ckpt)
+
+    # flow (1 epoch, tiny)
+    assert main(["train-flow", "--data_root", data,
+                 "--checkpoint_dir", ckpt_dir, "--epochs", "1",
+                 "--batch_size", "2", "--tiny"]) == 0
+
+    # synthesize from a short mel slice
+    mel_full = np.load(os.path.join(
+        data, sorted(f for f in os.listdir(data) if "mel" in f)[0]))
+    mel_path = os.path.join(root, "mel_short.npy")
+    np.save(mel_path, mel_full[:4])  # 4 frames -> 1024 samples
+
+    out_wav = os.path.join(root, "teacher.wav")
+    assert main(["synthesize-teacher", "--checkpoint", teacher_ckpt,
+                 "--mel_path", mel_path, "--out_wav", out_wav,
+                 "--tiny"]) == 0
+    sr, audio = wavfile.read(out_wav)
+    assert sr == 22050 and len(audio) == 4 * 256
+
+    out_wav2 = os.path.join(root, "student.wav")
+    assert main(["synthesize-student", "--checkpoint", student_ckpt,
+                 "--teacher_checkpoint", teacher_ckpt,
+                 "--mel_path", mel_path, "--out_wav", out_wav2,
+                 "--tiny"]) == 0
+    sr2, audio2 = wavfile.read(out_wav2)
+    assert sr2 == 22050 and len(audio2) == 4 * 256
+
+    out_wav3 = os.path.join(root, "flow.wav")
+    assert main(["synthesize-flow",
+                 "--checkpoint", os.path.join(ckpt_dir, "flow_best.pkl"),
+                 "--mel_path", mel_path, "--out_wav", out_wav3,
+                 "--tiny"]) == 0
+    sr3, audio3 = wavfile.read(out_wav3)
+    assert sr3 == 22050 and len(audio3) == 4 * 256

@@ -34,6 +34,8 @@ def build_parser():
         tp.add_argument("--epochs", type=int, default=1000)
         tp.add_argument("--learning_rate", type=float, default=1e-3)
         tp.add_argument("--seed", type=int, default=0)
+        tp.add_argument("--tiny", action="store_true",
+                        help="tiny model preset (tests/smoke)")
         if name == "train-student":
             tp.add_argument("--teacher_checkpoint", required=True)
             tp.add_argument("--KL_type", default="qp", choices=["qp", "pq"])
@@ -46,6 +48,8 @@ def build_parser():
         sp.add_argument("--out_wav", required=True)
         sp.add_argument("--temp", type=float, default=0.8)
         sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--tiny", action="store_true",
+                        help="tiny model preset (tests/smoke)")
         if name == "synthesize-student":
             sp.add_argument("--teacher_checkpoint", required=True)
     return p
@@ -82,12 +86,36 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(getattr(args, "seed", 0))
 
+    def teacher_cfg_for(args):
+        if getattr(args, "tiny", False):
+            return GaussianWaveNetConfig(
+                num_blocks=1, num_layers=2, front_channels=4,
+                residual_channels=8, gate_channels=8, skip_channels=8,
+                kernel_size=2, cin_channels=80, upsample_scales=(16, 16))
+        return GaussianWaveNetConfig()
+
+    def student_cfg_for(args):
+        if getattr(args, "tiny", False):
+            return StudentConfig(num_blocks_student=(1, 1), num_layers=2,
+                                 front_channels=4, residual_channels=8,
+                                 gate_channels=8, skip_channels=8,
+                                 kernel_size=3, cin_channels=80)
+        return StudentConfig()
+
+    def flow_cfg_for(args):
+        if getattr(args, "tiny", False):
+            return FlowavenetConfig(in_channel=1, cin_channel=80, n_block=2,
+                                    n_flow=1, n_layer=1, filter_size=8,
+                                    block_per_split=8,
+                                    upsample_scales=(16, 16))
+        return FlowavenetConfig()
+
     if args.command.startswith("train-"):
         ds = LJSpeechDataset(args.data_root, train=True)
         loader = LJSpeechLoader(ds, args.batch_size, seed=args.seed)
 
     if args.command == "train-teacher":
-        cfg = GaussianWaveNetConfig()
+        cfg = teacher_cfg_for(args)
         params = gaussian_wavenet_init(key, cfg)
         opt = make_vocoder_optimizer(args.learning_rate, clip_norm=10.0)
         state = create_vocoder_state(key, params, opt)
@@ -99,10 +127,10 @@ def main(argv=None):
 
     if args.command == "train-student":
         t_ckpt = load_vocoder_checkpoint(args.teacher_checkpoint)
-        teacher_cfg = GaussianWaveNetConfig()
+        teacher_cfg = teacher_cfg_for(args)
         t_params = jax.tree_util.tree_map(jnp.asarray,
                                           t_ckpt["ema_params"])
-        student_cfg = StudentConfig()
+        student_cfg = student_cfg_for(args)
         params = wavenet_student_init(key, student_cfg)
         opt = make_vocoder_optimizer(args.learning_rate, clip_norm=10.0)
         state = create_vocoder_state(key, params, opt)
@@ -117,7 +145,7 @@ def main(argv=None):
     if args.command == "train-flow":
         from vqvae_speech_tpu.models.flowavenet import actnorm_initialize
 
-        cfg = FlowavenetConfig()
+        cfg = flow_cfg_for(args)
         params = flowavenet_init(key, cfg)
         first = next(iter(loader))
         params = actnorm_initialize(params, cfg,
@@ -136,7 +164,7 @@ def main(argv=None):
 
     if args.command == "synthesize-teacher":
         ckpt = load_vocoder_checkpoint(args.checkpoint)
-        cfg = GaussianWaveNetConfig()
+        cfg = teacher_cfg_for(args)
         params = jax.tree_util.tree_map(jnp.asarray, ckpt["ema_params"])
         T = mel.shape[1] * 256
         audio = gaussian_wavenet_generate(params, cfg, key, T,
@@ -149,10 +177,10 @@ def main(argv=None):
             wavenet_student_generate)
 
         t_ckpt = load_vocoder_checkpoint(args.teacher_checkpoint)
-        teacher_cfg = GaussianWaveNetConfig()
+        teacher_cfg = teacher_cfg_for(args)
         t_params = jax.tree_util.tree_map(jnp.asarray, t_ckpt["ema_params"])
         ckpt = load_vocoder_checkpoint(args.checkpoint)
-        student_cfg = StudentConfig()
+        student_cfg = student_cfg_for(args)
         params = jax.tree_util.tree_map(jnp.asarray, ckpt["ema_params"])
         c_up = gaussian_wavenet_upsample(t_params, jnp.asarray(mel),
                                          teacher_cfg)
@@ -163,7 +191,7 @@ def main(argv=None):
 
     if args.command == "synthesize-flow":
         ckpt = load_vocoder_checkpoint(args.checkpoint)
-        cfg = FlowavenetConfig()
+        cfg = flow_cfg_for(args)
         params = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
         T = mel.shape[1] * 256
         z = args.temp * jax.random.normal(key, (1, T, 1))
