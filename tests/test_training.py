@@ -170,3 +170,18 @@ def test_ema_state_saved_in_checkpoint(tmp_path):
     assert "ema_cluster_size" in ckpt["model_state"]["vq"]
     # EMA ran: cluster sizes are no longer all-zero
     assert np.any(ckpt["model_state"]["vq"]["ema_cluster_size"] != 0)
+
+
+def test_profile_steps_option(tmp_path, capsys):
+    root, spec_path, store_root = _setup(
+        tmp_path, cfg_overrides={"profile_steps": True},
+        experiments={"prof": {"num_epochs": 1}})
+    # profile_steps is not a base-config key, so inject into the base yaml
+    with open(os.path.join(root, "base.yaml")) as f:
+        cfg = yaml.load(f, yaml.FullLoader)
+    cfg["profile_steps"] = True
+    with open(os.path.join(root, "base.yaml"), "w") as f:
+        yaml.dump(cfg, f)
+    Experiments.load(spec_path, data_root=store_root).train()
+    out = capsys.readouterr().out
+    assert "steps/sec" in out

@@ -177,6 +177,11 @@ class ConvolutionalTrainer:
         cfg = self._config
         ConsoleLogger.status(f"start epoch: {self._start_epoch}")
         ConsoleLogger.status(f"num epoch: {cfg['num_epochs']}")
+        timer = None
+        if cfg.get("profile_steps"):
+            from vqvae_speech_tpu.utils.profiling import StepTimer
+
+            timer = StepTimer()
         from vqvae_speech_tpu.data.prefetch import prefetch_to_device
 
         for epoch in range(self._start_epoch, cfg["num_epochs"]):
@@ -190,7 +195,12 @@ class ConvolutionalTrainer:
                 if (cfg.get("record_gradient_stats")
                         and iteration in record_iters):
                     self._record_gradient_stats(batch, epoch, iteration)
-                self._state, metrics = self._step(self._state, batch)
+                if timer is not None:
+                    with timer.step():
+                        self._state, metrics = self._step(self._state, batch)
+                        timer.block_on(metrics)
+                else:
+                    self._state, metrics = self._step(self._state, batch)
                 # keep metrics on device: fetching per step would force a
                 # host sync and stall the dispatch pipeline
                 device_metrics.append(metrics)
@@ -204,6 +214,12 @@ class ConvolutionalTrainer:
             ConsoleLogger.status(
                 "Epoch {}: loss {:.4f} perplexity {:.3f}".format(
                     epoch + 1, losses_list[-1]["loss"], perplexity_list[-1]))
+            if timer is not None and timer.num_steps:
+                s = timer.summary()
+                ConsoleLogger.status(
+                    "  steps/sec {:.2f} (p50 {:.1f} ms, p95 {:.1f} ms)".format(
+                        s["steps_per_sec"], s["p50_s"] * 1e3,
+                        s["p95_s"] * 1e3))
             self.save(epoch, losses_list, perplexity_list)
         return self._state
 
