@@ -82,20 +82,31 @@ def process_utterance(out_dir, index, wav_path, input_type: str = "raw",
     return audio_filename, mel_filename, len(out)
 
 
-def preprocess(in_dir, out_dir, limit=None, input_type: str = "raw"):
-    """metadata.csv -> npy pairs + train.txt (reference preprocessing.py)."""
+def preprocess(in_dir, out_dir, limit=None, input_type: str = "raw",
+               num_workers: int = 4):
+    """metadata.csv -> npy pairs + train.txt (reference preprocessing.py;
+    its ProcessPoolExecutor fan-out becomes a thread pool — the heavy mel
+    stage releases the GIL inside XLA)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     os.makedirs(out_dir, exist_ok=True)
-    metadata = []
+    jobs = []
     with open(os.path.join(in_dir, "metadata.csv"), encoding="utf-8") as f:
         for i, line in enumerate(f):
             if limit is not None and i >= limit:
                 break
             parts = line.strip().split("|")
             wav_path = os.path.join(in_dir, "wavs", f"{parts[0]}.wav")
-            text = parts[-1]
-            a, m, t = process_utterance(out_dir, i + 1, wav_path,
-                                        input_type=input_type)
-            metadata.append((a, m, t, text))
+            jobs.append((i + 1, wav_path, parts[-1]))
+
+    def run(job):
+        index, wav_path, text = job
+        a, m, t = process_utterance(out_dir, index, wav_path,
+                                    input_type=input_type)
+        return (a, m, t, text)
+
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        metadata = list(pool.map(run, jobs))
     with open(os.path.join(out_dir, "train.txt"), "w", encoding="utf-8") as f:
         for m in metadata:
             f.write("|".join(str(x) for x in m) + "\n")

@@ -4,8 +4,6 @@ the reference but part of its surface — src/dataset/spectrogram_dataset.py:30-
 Each manifest line is ``/path/to/audio.wav,/path/to/transcript.txt``; items
 are (log1p-magnitude spectrogram, transcript string).
 """
-import os
-
 import numpy as np
 
 from vqvae_speech_tpu.data.audio import load_wav, trim_silence

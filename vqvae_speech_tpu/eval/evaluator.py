@@ -198,7 +198,6 @@ class Evaluator:
         vectorized pairwise distances (reference evaluator.py:120-163)."""
         import jax.numpy as jnp
         from vqvae_speech_tpu.models import conv_vqvae_apply
-        from vqvae_speech_tpu.models.vq import vector_quantizer_apply
         from vqvae_speech_tpu.ops.vq import reference_flatten
         from vqvae_speech_tpu.ops.pairwise import pdist, cdist
         from vqvae_speech_tpu.models.encoder import convolutional_encoder_apply

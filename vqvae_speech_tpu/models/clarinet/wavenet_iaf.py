@@ -9,8 +9,8 @@ with block counts [1, 1, 1, 4]; ``iaf()`` composes means/scales across flows:
 Generation is single-pass (no autoregression) — already the TPU-friendly
 shape; everything is plain batched convs on the MXU.
 """
-from dataclasses import dataclass, field
-from typing import Sequence, Tuple
+from dataclasses import dataclass
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -332,8 +332,6 @@ def actnorm_initialize(params, cfg: FlowavenetConfig, x, c):
     ActNorm's params with the batch statistics of its input (functional
     version of the reference's initialize-on-first-forward,
     model.py:45-62).  Returns updated params."""
-    import copy
-
     params = jax.tree_util.tree_map(lambda v: v, params)  # shallow copy tree
     c_up = flowavenet_upsample(params, c, cfg)
     out = x

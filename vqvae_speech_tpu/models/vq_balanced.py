@@ -10,7 +10,7 @@ index tensors (vqvae_balanced.py:75-91); here the revival is one vectorized
 masked update — every dead code draws a donor uniformly from the top-k
 high-usage codes and perturbs it with N(0, 0.5) noise.
 """
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

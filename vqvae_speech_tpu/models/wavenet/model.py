@@ -20,7 +20,7 @@ matmul over the channel axis; causal convs use LEFT padding ``(k-1)*d``
 modules.py:181-183, verified in tests); dropout/PRNG is explicit.
 """
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Sequence
 
 import jax

@@ -7,7 +7,6 @@ import jax
 import jax.numpy as jnp
 
 from vqvae_speech_tpu.nn.conv import conv1d_init, conv1d
-from vqvae_speech_tpu.nn.init import torch_conv_uniform
 
 
 # -------------------- Residual block / stack --------------------

@@ -15,7 +15,6 @@ once and streams batches at HBM bandwidth.
 import functools
 import math
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -10,8 +10,6 @@ distance work is fully parallel.
 Implemented with `shard_map` so the collective is explicit and the compiler
 sees static shapes per shard.
 """
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -155,6 +155,24 @@ class Experiments:
         results = {}
         for experiment in self.experiments:
             results[experiment.name] = experiment.evaluate(evaluation_options)
+        # cross-experiment aggregations (reference experiments.py:69-116)
+        if self.experiments:
+            names = [e.name for e in self.experiments]
+            result_path = self.experiments[0].results_path
+            if evaluation_options.get("plot_clustering_metrics_evolution"):
+                from vqvae_speech_tpu.eval.alignment_stats import (
+                    compute_clustering_metrics_evolution)
+
+                results["clustering_metrics_evolution"] = \
+                    compute_clustering_metrics_evolution(names, result_path)
+            if evaluation_options.get(
+                    "check_clustering_metrics_stability_over_seeds"):
+                from vqvae_speech_tpu.eval.alignment_stats import (
+                    check_clustering_metrics_stability_over_seeds)
+
+                results["clustering_metrics_stability"] = \
+                    check_clustering_metrics_stability_over_seeds(
+                        names, result_path)
         return results
 
     @staticmethod

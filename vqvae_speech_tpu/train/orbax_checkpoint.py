@@ -10,9 +10,6 @@ via orbax-checkpoint: sharded-array aware, works for multi-host meshes
 import os
 import re
 
-import jax
-import numpy as np
-
 _EPOCH_RE = re.compile(r"^\d+$")
 
 

@@ -17,7 +17,6 @@ NOTE the reference gates its gradient-stats hook on the *codebook* flag
 (base_trainer.py:92 checks record_codebook_stats) — an observed bug; here
 gradient recording honors record_gradient_stats.
 """
-import functools
 import os
 import pickle
 from typing import Any, NamedTuple
