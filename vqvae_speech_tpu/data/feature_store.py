@@ -26,6 +26,14 @@ import pickle
 import numpy as np
 
 
+class _ColumnView(dict):
+    """dict of mmap'd arrays with an npz-compatible ``.files`` attribute."""
+
+    @property
+    def files(self):
+        return list(self.keys())
+
+
 class FeatureStore:
     """Read/write access to the columnar per-split feature arrays."""
 
@@ -38,23 +46,41 @@ class FeatureStore:
     def exists(self, split: str) -> bool:
         return os.path.isfile(self._npz_path(split))
 
+    def _column_path(self, split: str, column: str) -> str:
+        return os.path.join(self.root, f"{split}.{column}.npy")
+
     def write(self, split: str, input_features, output_features, speaker_ids,
               metadata: dict = None, **extra_arrays):
         os.makedirs(self.root, exist_ok=True)
-        np.savez(
-            self._npz_path(split),
-            input_features=np.asarray(input_features, np.float32),
-            output_features=np.asarray(output_features, np.float32),
-            speaker_ids=np.asarray(speaker_ids, np.int32),
+        columns = {
+            "input_features": np.asarray(input_features, np.float32),
+            "output_features": np.asarray(output_features, np.float32),
+            "speaker_ids": np.asarray(speaker_ids, np.int32),
             **{k: np.asarray(v) for k, v in extra_arrays.items()},
-        )
+        }
+        # one .npy per column: np.load(mmap_mode='r') gives TRUE memory
+        # mapping (npz is a zip archive — numpy silently ignores mmap_mode
+        # and re-reads the whole entry on every access)
+        for name, arr in columns.items():
+            np.save(self._column_path(split, name), arr, allow_pickle=False)
+        with open(self._npz_path(split), "w") as f:
+            json.dump({"columns": sorted(columns)}, f)
         if metadata is not None:
             with open(os.path.join(self.root, f"{split}.meta.json"), "w") as f:
                 json.dump(metadata, f)
 
     def open(self, split: str):
-        """mmap-backed dict of arrays."""
-        return np.load(self._npz_path(split), mmap_mode="r")
+        """mmap-backed dict-like of column arrays."""
+        path = self._npz_path(split)
+        with open(path, "rb") as f:
+            head = f.read(2)
+        if head == b"PK":  # legacy zipped-npz store
+            return np.load(path, mmap_mode="r")
+        with open(path) as f:
+            manifest = json.load(f)
+        return _ColumnView({
+            name: np.load(self._column_path(split, name), mmap_mode="r")
+            for name in manifest["columns"]})
 
     def metadata(self, split: str) -> dict:
         path = os.path.join(self.root, f"{split}.meta.json")

@@ -80,6 +80,7 @@ def vector_quantizer_apply(
     """Quantize (B, T, C) latents.  EMA variant iff ``decay > 0``."""
     ema = decay > 0.0
     codebook = state["codebook"] if ema else params["codebook"]
+    pre_update_codebook = codebook  # the distances view below uses this
     K, D = codebook.shape
     B, T, C = z_btc.shape
 
@@ -143,7 +144,9 @@ def vector_quantizer_apply(
     # Reference-layout views for the evaluator: encodings/distances are
     # view(batch, time, -1) reshapes of the (C,T,B)-order row stream
     # (reference vector_quantizer.py:151-153; the -1 matters when D != C).
-    distances = vq_distances(flat, codebook).reshape(B, T, -1)
+    # NOTE: the distances view uses the PRE-update codebook — the reference
+    # computes them before its EMA update (vector_quantizer_ema.py:109-111).
+    distances = vq_distances(flat, pre_update_codebook).reshape(B, T, -1)
     encodings = onehot.reshape(B, T, -1)
 
     return VQOutput(
