@@ -334,6 +334,14 @@ def compute_clustering_metrics(results_path: str, experiment_name: str,
             final_emp.append(alignment)
 
     n = min(len(final_gt), len(final_emp))
+    if n == 0:
+        ConsoleLogger.warn("No overlapping groundtruth/empirical alignments; "
+                           "clustering metrics undefined (scores = 0)")
+        scores = {m: 0.0 for m in _METRICS}
+        for metric, value in scores.items():
+            np.save(os.path.join(results_path,
+                                 f"{experiment_name}_{metric}.npy"), value)
+        return scores
     gt = np.concatenate(np.asarray(final_gt[:n]))
     emp = np.concatenate(np.asarray(final_emp[:n]))
 

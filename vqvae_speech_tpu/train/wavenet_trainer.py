@@ -85,8 +85,27 @@ class WaveNetTrainer:
         params, model_state, self._wavenet_cfg = wavenet_vqvae_init(
             key, config, num_speakers)
         self._optimizer = optax.amsgrad(config["learning_rate"])
-        self.state = WaveNetTrainState(
-            params, model_state, self._optimizer.init(params), key)
+        opt_state = self._optimizer.init(params)
+
+        # auto-resume: same per-epoch checkpoint contract as the
+        # convolutional trainer
+        from vqvae_speech_tpu.train.checkpoint import (
+            latest_checkpoint_epoch, load_checkpoint)
+        import jax.numpy as jnp
+
+        epoch, ckpt_path = latest_checkpoint_epoch(experiments_path,
+                                                   experiment_name)
+        if ckpt_path is not None:
+            ConsoleLogger.status(
+                f"Resuming WaveNet '{experiment_name}' from epoch {epoch}")
+            ckpt = load_checkpoint(ckpt_path)
+            as_jax = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+            params = as_jax(ckpt["params"])
+            model_state = as_jax(ckpt["model_state"])
+            opt_state = as_jax(ckpt["opt_state"])
+            self._start_epoch = ckpt["epoch"]
+
+        self.state = WaveNetTrainState(params, model_state, opt_state, key)
         self._step = make_wavenet_train_step(
             config, self._wavenet_cfg, self._optimizer, use_pallas)
 
