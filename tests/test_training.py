@@ -185,3 +185,26 @@ def test_profile_steps_option(tmp_path, capsys):
     Experiments.load(spec_path, data_root=store_root).train()
     out = capsys.readouterr().out
     assert "steps/sec" in out
+
+
+def test_mixed_precision_training(tmp_path):
+    """compute_dtype: bfloat16 runs forward/backward in bf16 while master
+    params, optimizer state, and recorded losses stay float32."""
+    root, spec_path, store_root = _setup(
+        tmp_path, cfg_overrides={"compute_dtype": "bfloat16"},
+        experiments={"mp": {"num_epochs": 2}})
+    with open(os.path.join(root, "base.yaml")) as f:
+        cfg = yaml.load(f, yaml.FullLoader)
+    cfg["compute_dtype"] = "bfloat16"
+    with open(os.path.join(root, "base.yaml"), "w") as f:
+        yaml.dump(cfg, f)
+    exps = Experiments.load(spec_path, data_root=store_root)
+    exps.train()
+    state = exps.experiments[0].build_trainer().state
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        if hasattr(leaf, "dtype") and leaf.dtype.kind == "f":
+            assert leaf.dtype == "float32"
+    losses, _ = merge_checkpoint_losses(os.path.join(root, "experiments"),
+                                        "mp")
+    assert all(np.isfinite(l["loss"]) for l in losses)
+    assert losses[-1]["loss"] < losses[0]["loss"]

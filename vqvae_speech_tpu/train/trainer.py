@@ -60,21 +60,45 @@ def make_train_step(config: dict, optimizer: optax.GradientTransformation,
 
     With a mesh, batch arrays are expected sharded over ``data`` and
     state replicated; without one, plain single-device jit.
+
+    Mixed precision: ``compute_dtype: bfloat16`` in the config runs the
+    forward/backward in bf16 (master weights, optimizer state, and losses
+    stay f32 — autodiff through the cast delivers f32 gradients).  The VQ
+    codebook search stays in its own dtype handling (ops/vq.py computes
+    distances in f32 for index stability).
     """
+    compute_dtype = config.get("compute_dtype")
+    if compute_dtype is not None:
+        compute_dtype = jnp.dtype(compute_dtype)
+
+    def _cast(tree):
+        return jax.tree_util.tree_map(
+            lambda v: v.astype(compute_dtype)
+            if jnp.issubdtype(v.dtype, jnp.floating) else v, tree)
 
     def loss_fn(params, model_state, batch, rng):
+        if compute_dtype is not None:
+            params = _cast(params)
+            batch = dict(batch, input_features=batch["input_features"]
+                         .astype(compute_dtype))
         out = conv_vqvae_apply(
             params, model_state, batch["input_features"], config,
             training=True, rng=rng, speaker_ids=batch.get("speaker_id"),
             use_pallas=use_pallas)
-        recon = jnp.mean(
-            jnp.square(out.reconstructed_x - batch["output_features"]))
-        loss = out.vq_loss + recon
-        metrics = dict(out.losses)
+        recon = jnp.mean(jnp.square(
+            out.reconstructed_x.astype(jnp.float32)
+            - batch["output_features"].astype(jnp.float32)))
+        loss = out.vq_loss.astype(jnp.float32) + recon
+        metrics = {k: v.astype(jnp.float32) if hasattr(v, "astype") else v
+                   for k, v in out.losses.items()}
         metrics["reconstruction_loss"] = recon
         metrics["loss"] = loss
-        metrics["perplexity"] = out.perplexity
-        return loss, (out.new_state, metrics)
+        metrics["perplexity"] = out.perplexity.astype(jnp.float32)
+        new_state = (jax.tree_util.tree_map(
+            lambda v: v.astype(jnp.float32)
+            if jnp.issubdtype(v.dtype, jnp.floating) else v,
+            out.new_state) if compute_dtype is not None else out.new_state)
+        return loss, (new_state, metrics)
 
     def step(state: TrainState, batch):
         rng, sub = jax.random.split(state.rng)
