@@ -43,10 +43,14 @@ def export_split_to_features(files, speaker_dic, store: FeatureStore,
     in_dim = in_filters * 3  # input features are always delta-augmented
     target_shape = (cfg["input_features_dim"], in_dim)
 
-    rng = np.random.default_rng(seed)
-
-    def load_one(path):
+    def load_one(job):
+        index, path = job
         try:
+            # per-file rng keyed by (seed, index): the random crop is
+            # deterministic regardless of thread scheduling (the reference's
+            # DataLoader workers draw from unseeded per-process state,
+            # vctk_dataset.py:64)
+            rng = np.random.default_rng((seed, index))
             return preprocess_utterance(
                 path, speaker_dic, rate, cfg["top_db"], length,
                 cfg["quantize"], rng)
@@ -61,7 +65,8 @@ def export_split_to_features(files, speaker_dic, store: FeatureStore,
 
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
         for start in range(0, len(files), chunk_size):
-            chunk_files = files[start:start + chunk_size]
+            chunk_files = list(enumerate(files[start:start + chunk_size],
+                                         start=start))
             items = [it for it in pool.map(load_one, chunk_files)
                      if it is not None]
             if not items:
