@@ -192,3 +192,27 @@ def test_wavenet_vqvae_composite():
                               rng=jax.random.PRNGKey(3), use_pallas=False)
     assert out.reconstructed_x.shape == (B, T_samp, 32)
     assert np.isfinite(float(out.vq_loss))
+
+
+def test_int8_weight_quantized_decode_close_to_f32():
+    """Weight-only int8 decode: logits track the f32 path closely and the
+    greedy sample streams mostly agree (quantization noise only)."""
+    cfg = WaveNetConfig(out_channels=24, layers=6, stacks=2,
+                        residual_channels=16, gate_channels=16,
+                        skip_out_channels=16, kernel_size=3, dropout=0.0,
+                        cin_channels=4, upsample_conditional_features=True,
+                        upsample_scales=(4,))
+    params = wavenet_init(jax.random.PRNGKey(0), cfg)
+    B, T = 1, 48
+    c = jax.random.normal(jax.random.PRNGKey(1), (B, T // 4, 4))
+    outs_f32, em_f32 = wavenet_incremental_generate(
+        params, cfg, jax.random.PRNGKey(2), T, c=c, sample=False)
+    outs_q, em_q = wavenet_incremental_generate(
+        params, cfg, jax.random.PRNGKey(2), T, c=c, sample=False,
+        weight_quant="int8")
+    a = np.asarray(outs_f32).ravel()
+    b = np.asarray(outs_q).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert cos > 0.99, cos
+    agree = np.mean(np.asarray(em_f32) == np.asarray(em_q))
+    assert agree > 0.7, agree
