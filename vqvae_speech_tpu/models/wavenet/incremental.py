@@ -54,7 +54,7 @@ def _mm(x, lw, key):
     w = lw[key]
     if w.dtype == jnp.int8:
         y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
-        return y * lw[key + "_scale"]
+        return (y * lw[key + "_scale"]).astype(x.dtype)
     return x @ w
 
 
@@ -81,7 +81,7 @@ def _step_layer(lw, x_t, buf, t, cond_t, cfg: WaveNetConfig, dilation):
         tap = jnp.where(t - lag >= 0, tap, jnp.zeros_like(tap))
         acc = acc + tap @ (w[j].astype(tap.dtype) if quant else w[j])
     if quant:
-        acc = acc * lw["conv_w_scale"]
+        acc = (acc * lw["conv_w_scale"]).astype(x_t.dtype)
     acc = acc + lw["conv_b"]
     if cond_t is not None:
         acc = acc + cond_t
