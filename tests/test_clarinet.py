@@ -3,6 +3,7 @@ IAF composition, distillation step, scan generation."""
 import math
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import torch
@@ -47,6 +48,7 @@ def test_teacher_causality():
     assert not np.allclose(y1[0, 50:], y2[0, 50:])
 
 
+@pytest.mark.slow
 def test_generate_matches_batch_teacher():
     """Ring-buffer scan generation must equal re-running the batch conv path
     on the emitted samples (teacher-forcing replay)."""
@@ -141,6 +143,7 @@ def test_student_iaf_composition():
         rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_distillation_step_runs_and_is_finite():
     """One full probability-density-distillation loss computation
     (reference train_student.py:96-116)."""

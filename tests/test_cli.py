@@ -4,6 +4,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 import yaml
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -41,6 +42,7 @@ def test_summary_mode(tmp_path, capsys):
     assert "pre_vq_conv" in out and "codebook" in out
 
 
+@pytest.mark.slow
 def test_default_mode_trains(tmp_path, monkeypatch):
     root, spec_path, store_root = _setup(tmp_path)
     # data_root in the frozen config points at tmp store
@@ -58,6 +60,7 @@ def test_default_mode_trains(tmp_path, monkeypatch):
     assert any(f.endswith("_checkpoint.pkl") for f in os.listdir(exp_dir))
 
 
+@pytest.mark.slow
 def test_plot_experiments_losses_mode(tmp_path):
     root, spec_path, store_root = _setup(tmp_path)
     from vqvae_speech_tpu.train import Experiments

@@ -6,6 +6,7 @@ import os
 import pickle
 
 import numpy as np
+import pytest
 import yaml
 
 from vqvae_speech_tpu.train import Experiments
@@ -48,6 +49,7 @@ def _full_setup(tmp_path):
     return root, exps, store_root
 
 
+@pytest.mark.slow
 def test_full_evaluation_pipeline(tmp_path):
     root, exps, store_root = _full_setup(tmp_path)
     results = exps.evaluate({
@@ -120,6 +122,7 @@ def test_pairwise_matches_itertools_order():
     np.testing.assert_allclose(got_c, want_c, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_losses_plotter(tmp_path):
     root, exps, _ = _full_setup(tmp_path)
     from vqvae_speech_tpu.eval.losses_plotter import plot_training_losses
@@ -147,6 +150,7 @@ def test_clustering_metrics_evolution_and_stability(tmp_path):
     assert os.path.isfile(out1) and os.path.isfile(out2)
 
 
+@pytest.mark.slow
 def test_denormalization_and_speaker_entropy_options(tmp_path):
     root, exps, store_root = _full_setup(tmp_path)
     results = exps.evaluate({

@@ -2,6 +2,7 @@
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from scipy.io import wavfile
@@ -114,6 +115,7 @@ def test_crop_batch_alignment(tmp_path):
     assert batch["c"].shape == (2, 25, 80)
 
 
+@pytest.mark.slow
 def test_teacher_and_flow_training_steps(tmp_path):
     root = _mini_ljspeech(str(tmp_path))
     out = os.path.join(root, "out")

@@ -7,6 +7,7 @@ compares the full forward (eval mode, no jitter) including codebook indices
 and the output trim.
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import torch
@@ -126,6 +127,7 @@ def _cp_convT(tc):
     return p
 
 
+@pytest.mark.slow
 def test_full_model_forward_matches_torch():
     torch.manual_seed(0)
     tm = TorchModel(CFG).eval()

@@ -11,6 +11,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 import yaml
 
 from vqvae_speech_tpu.data.synthetic_phonemes import build_phoneme_corpus
@@ -21,6 +22,7 @@ from vqvae_speech_tpu.train import Experiments
 from tests.test_training import TINY_CFG
 
 
+@pytest.mark.slow
 def test_codes_align_with_synthetic_phonemes(tmp_path):
     root = str(tmp_path)
     build_phoneme_corpus(root, num_speakers=2, utts_per_speaker=10,

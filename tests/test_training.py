@@ -8,6 +8,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 import jax
 import yaml
 
@@ -91,6 +92,7 @@ def _setup(tmp_path, cfg_overrides=None, experiments=None, seed=1234):
     return root, spec_path, store_root
 
 
+@pytest.mark.slow
 def test_train_checkpoints_and_loss_descends(tmp_path):
     root, spec_path, store_root = _setup(tmp_path)
     exps = Experiments.load(spec_path, data_root=store_root)
@@ -110,6 +112,7 @@ def test_train_checkpoints_and_loss_descends(tmp_path):
     assert first["epoch"] == 1 and first["experiment_name"] == "tiny"
 
 
+@pytest.mark.slow
 def test_auto_resume_continues_from_latest_epoch(tmp_path):
     root, spec_path, store_root = _setup(tmp_path)
     Experiments.load(spec_path, data_root=store_root).train()
@@ -143,6 +146,7 @@ def test_seed_fanout_naming(tmp_path):
         "tiny-seed1", "tiny-seed2"]
 
 
+@pytest.mark.slow
 def test_data_parallel_training_on_8_device_mesh(tmp_path):
     assert len(jax.devices()) == 8
     root, spec_path, store_root = _setup(
@@ -187,6 +191,7 @@ def test_profile_steps_option(tmp_path, capsys):
     assert "steps/sec" in out
 
 
+@pytest.mark.slow
 def test_mixed_precision_training(tmp_path):
     """compute_dtype: bfloat16 runs forward/backward in bf16 while master
     params, optimizer state, and recorded losses stay float32."""

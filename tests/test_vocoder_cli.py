@@ -3,12 +3,14 @@ synthesize (tiny presets), producing real wav files."""
 import os
 
 import numpy as np
+import pytest
 from scipy.io import wavfile
 
 from vqvae_speech_tpu.vocoder_main import main
 from tests.test_ljspeech_vocoder import _mini_ljspeech
 
 
+@pytest.mark.slow
 def test_cli_preprocess_train_synthesize(tmp_path):
     root = _mini_ljspeech(str(tmp_path))
     data = os.path.join(root, "lj")

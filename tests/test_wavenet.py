@@ -1,6 +1,7 @@
 """WaveNet vocoder tests: causality, batch<->incremental equivalence,
 conditioning upsampling parity vs torch, mixture loss golden values."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import torch
@@ -54,6 +55,7 @@ def test_causality():
     assert not np.allclose(y1[0, 25:], y2[0, 25:])
 
 
+@pytest.mark.slow
 def test_incremental_matches_batch_forward():
     """Teacher-forcing equivalence: generate greedily with the scan path,
     then verify the batch conv path produces identical logits on the
@@ -165,6 +167,7 @@ def test_dml_sampling_statistics():
     assert float(s.std()) < 0.05
 
 
+@pytest.mark.slow
 def test_wavenet_vqvae_composite():
     from vqvae_speech_tpu.models.wavenet_vqvae import (
         wavenet_vqvae_init, wavenet_vqvae_apply)

@@ -3,6 +3,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 import yaml
 
 from vqvae_speech_tpu.data.synthetic import build_synthetic_store
@@ -11,6 +12,7 @@ from vqvae_speech_tpu.train.checkpoint import find_checkpoints, load_checkpoint
 from tests.test_training import TINY_CFG
 
 
+@pytest.mark.slow
 def test_wavenet_trainer_end_to_end(tmp_path):
     root = str(tmp_path)
     store_root = os.path.join(root, "features")
