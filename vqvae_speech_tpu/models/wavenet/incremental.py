@@ -95,13 +95,14 @@ def _step_layer(lw, x_t, buf, t, cond_t, cfg: WaveNetConfig, dilation):
 
 
 @partial(jax.jit, static_argnames=("cfg", "T", "sample", "compute_dtype",
-                                   "weight_quant"))
+                                   "weight_quant", "use_fused_stack"))
 def wavenet_incremental_generate(params, cfg: WaveNetConfig, rng, T: int,
                                  c=None, g=None, initial_input=None,
                                  sample: bool = True,
                                  log_scale_min: float = -50.0,
                                  compute_dtype=None,
-                                 weight_quant: str = None):
+                                 weight_quant: str = None,
+                                 use_fused_stack: bool = False):
     """Generate T samples autoregressively.
 
     c: (B, Tc, cin) local conditioning (upsampled here when configured);
@@ -117,6 +118,10 @@ def wavenet_incremental_generate(params, cfg: WaveNetConfig, rng, T: int,
     utterances to amortize the weight reads for serving throughput.
     """
     assert weight_quant in (None, "int8"), weight_quant
+    if use_fused_stack:
+        # experimental Pallas fused GLU layer stack (ops/wavenet_step.py):
+        # f32 only, mutually exclusive with quantization
+        assert compute_dtype is None and weight_quant is None
     if compute_dtype is not None:
         params = jax.tree_util.tree_map(
             lambda v: v.astype(compute_dtype)
@@ -183,29 +188,78 @@ def wavenet_incremental_generate(params, cfg: WaveNetConfig, rng, T: int,
             lw["out_w"], lw["out_w_scale"] = _quantize_int8(
                 lw["out_w"], axes=(0,))
         layer_weights.append(lw)
+    fused_w = None
+    if use_fused_stack:
+        fused_w = {
+            "wtap": jnp.stack([lw["conv_w"] for lw in layer_weights]),
+            "bias": jnp.stack([lw["conv_b"] for lw in layer_weights]),
+            "wskip": jnp.stack([lw["skip_w"] for lw in layer_weights]),
+            "bskip": jnp.stack([lw["skip_b"] for lw in layer_weights]),
+            "wout": jnp.stack([lw["out_w"] for lw in layer_weights]),
+            "bout": jnp.stack([lw["out_b"] for lw in layer_weights]),
+        }
 
     def step(carry, t):
         x_in, bufs, key = carry
         key, k_sample = jax.random.split(key)
         x = x_in @ w_first + b_first
-        skips = None
-        new_bufs = []
-        ci = 0
-        for layer, lw in enumerate(layer_weights):
-            if have_cond[layer]:
-                cond_t = cond_stack[ci, :, t]
-                ci += 1
-            else:
-                cond_t = None
-            x, h, nb = _step_layer(lw, x, bufs[layer], t, cond_t, cfg,
-                                   cfg.dilation(layer))
-            new_bufs.append(nb)
-            if skips is None:
-                skips = h
-            else:
-                skips = skips + h
-                if cfg.legacy:
-                    skips = skips * math.sqrt(0.5)
+        if use_fused_stack:
+            from vqvae_speech_tpu.ops.wavenet_step import fused_glu_stack_step
+
+            k = cfg.kernel_size
+            # gather every layer's history taps up front (independent reads)
+            taps = []
+            for layer in range(cfg.layers):
+                d = cfg.dilation(layer)
+                L = bufs[layer].shape[1]
+                row = []
+                for j in range(k - 1):
+                    lag = (k - 1 - j) * d
+                    tap = jax.lax.dynamic_index_in_dim(
+                        bufs[layer], jnp.mod(t - lag, L), axis=1,
+                        keepdims=False)
+                    row.append(jnp.where(t - lag >= 0, tap,
+                                         jnp.zeros_like(tap)))
+                taps.append(jnp.stack(row))
+            taps = jnp.stack(taps)                       # (L, k-1, B, C)
+            cond_rows = []
+            ci = 0
+            for layer in range(cfg.layers):
+                if have_cond[layer]:
+                    cond_rows.append(cond_stack[ci, :, t])
+                    ci += 1
+                else:
+                    cond_rows.append(
+                        jnp.zeros((B, cfg.gate_channels), x.dtype))
+            cond_all = jnp.stack(cond_rows)              # (L, B, gate)
+            x, skips, x_all = fused_glu_stack_step(
+                x, taps, cond_all, fused_w["wtap"], fused_w["bias"],
+                fused_w["wskip"], fused_w["bskip"], fused_w["wout"],
+                fused_w["bout"], legacy=cfg.legacy)
+            new_bufs = [
+                jax.lax.dynamic_update_index_in_dim(
+                    bufs[layer], x_all[layer],
+                    jnp.mod(t, bufs[layer].shape[1]), axis=1)
+                for layer in range(cfg.layers)]
+        else:
+            skips = None
+            new_bufs = []
+            ci = 0
+            for layer, lw in enumerate(layer_weights):
+                if have_cond[layer]:
+                    cond_t = cond_stack[ci, :, t]
+                    ci += 1
+                else:
+                    cond_t = None
+                x, h, nb = _step_layer(lw, x, bufs[layer], t, cond_t, cfg,
+                                       cfg.dilation(layer))
+                new_bufs.append(nb)
+                if skips is None:
+                    skips = h
+                else:
+                    skips = skips + h
+                    if cfg.legacy:
+                        skips = skips * math.sqrt(0.5)
         out = jax.nn.relu(skips)
         out = jax.nn.relu(out @ w_last1 + b_last1)
         # logits in f32 regardless of compute dtype (stable sampling)

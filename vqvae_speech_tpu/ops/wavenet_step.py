@@ -34,8 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x0_ref, taps_ref, cond_ref, wtap_ref, bias_ref,
             wskip_ref, bskip_ref, wout_ref, bout_ref,
-            x_out_ref, skip_out_ref,
-            x_scr, acc_scr, skip_scr, *, layers, k):
+            x_out_ref, skip_out_ref, x_all_ref,
+            x_scr, acc_scr, skip_scr, *, layers, k, legacy):
     l = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -43,6 +43,11 @@ def _kernel(x0_ref, taps_ref, cond_ref, wtap_ref, bias_ref,
     def _():
         x_scr[:] = x0_ref[:]
         skip_scr[:] = jnp.zeros_like(skip_scr)
+
+    @pl.when(j == 0)
+    def _():
+        # record this layer's input (the ring-buffer value for time t)
+        x_all_ref[0] = x_scr[:]
 
     @pl.when(j == 0)
     def _():
@@ -60,10 +65,17 @@ def _kernel(x0_ref, taps_ref, cond_ref, wtap_ref, bias_ref,
         g_half = acc.shape[1] // 2
         a, b = acc[:, :g_half], acc[:, g_half:]
         h = jnp.tanh(a) * jax.nn.sigmoid(b)
-        skip_scr[:] += (jnp.dot(h, wskip_ref[0],
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
-                        + bskip_ref[0])
+        s_l = (jnp.dot(h, wskip_ref[0],
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+               + bskip_ref[0])
+        if legacy:
+            # reference legacy skip scaling: skips = (skips + s)*sqrt(0.5)
+            # for every layer after the first (wavenet.py:249-256)
+            scale = jnp.where(l == 0, 1.0, math.sqrt(0.5))
+            skip_scr[:] = (skip_scr[:] + s_l) * scale
+        else:
+            skip_scr[:] += s_l
         out = (jnp.dot(h, wout_ref[0], preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
                + bout_ref[0])
@@ -75,10 +87,11 @@ def _kernel(x0_ref, taps_ref, cond_ref, wtap_ref, bias_ref,
         skip_out_ref[:] = skip_scr[:]
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("legacy",))
 def fused_glu_stack_step(x0, taps, cond, wtap, bias, wskip, bskip, wout,
-                         bout):
-    """See module docstring.  taps tap index j corresponds to wtap[:, j]."""
+                         bout, legacy: bool = False):
+    """See module docstring.  taps tap index j corresponds to wtap[:, j];
+    ``legacy`` applies the reference's progressive sqrt(0.5) skip scaling."""
     L, k, C, G = wtap.shape
     B = x0.shape[0]
     S = wskip.shape[2]
@@ -93,8 +106,8 @@ def fused_glu_stack_step(x0, taps, cond, wtap, bias, wskip, bskip, wout,
     # but the block spec still needs a valid index)
     taps_idx = lambda l, j: (l, jnp.minimum(j, k - 2), 0, 0)
 
-    x_out, skip_out = pl.pallas_call(
-        functools.partial(_kernel, layers=L, k=k),
+    x_out, skip_out, x_all = pl.pallas_call(
+        functools.partial(_kernel, layers=L, k=k, legacy=legacy),
         grid=(L, k),
         in_specs=[
             pl.BlockSpec((B, C), lambda l, j: (0, 0),
@@ -121,10 +134,13 @@ def fused_glu_stack_step(x0, taps, cond, wtap, bias, wskip, bskip, wout,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, S), lambda l, j: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, C), lambda l, j: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, C), jnp.float32),
             jax.ShapeDtypeStruct((B, S), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, C), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((B, C), jnp.float32),   # x carry
@@ -132,22 +148,29 @@ def fused_glu_stack_step(x0, taps, cond, wtap, bias, wskip, bskip, wout,
             pltpu.VMEM((B, S), jnp.float32),   # skip accumulator
         ],
     )(x0, taps, cond, wtap, bias, wskip, bskip, wout, bout)
-    return x_out, skip_out
+    return x_out, skip_out, x_all
 
 
-def glu_stack_step_xla(x0, taps, cond, wtap, bias, wskip, bskip, wout, bout):
+def glu_stack_step_xla(x0, taps, cond, wtap, bias, wskip, bskip, wout, bout,
+                       legacy: bool = False):
     """Reference XLA implementation of the same stacked computation."""
     L, k, C, G = wtap.shape
     x = x0
+    x_all = []
     skip = jnp.zeros((x0.shape[0], wskip.shape[2]), x0.dtype)
     for l in range(L):
+        x_all.append(x)
         acc = cond[l] + bias[l][None, :]
         for j in range(k - 1):
             acc = acc + taps[l, j] @ wtap[l, j]
         acc = acc + x @ wtap[l, k - 1]
         a, b = jnp.split(acc, 2, axis=-1)
         h = jnp.tanh(a) * jax.nn.sigmoid(b)
-        skip = skip + h @ wskip[l] + bskip[l][None, :]
+        s_l = h @ wskip[l] + bskip[l][None, :]
+        if legacy and l > 0:
+            skip = (skip + s_l) * math.sqrt(0.5)
+        else:
+            skip = skip + s_l
         out = h @ wout[l] + bout[l][None, :]
         x = (x + out) * math.sqrt(0.5)
-    return x, skip
+    return x, skip, jnp.stack(x_all)
