@@ -243,3 +243,27 @@ def test_fused_stack_decode_matches_default_path():
     np.testing.assert_array_equal(np.asarray(em), np.asarray(em_f))
     np.testing.assert_allclose(np.asarray(outs), np.asarray(outs_f),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_stack_int8_decode_close_to_plain_int8():
+    """use_fused_stack + int8: matches the plain int8 scan path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = WaveNetConfig(out_channels=24, layers=4, stacks=2,
+                        residual_channels=16, gate_channels=16,
+                        skip_out_channels=16, kernel_size=3, dropout=0.0,
+                        cin_channels=4, upsample_conditional_features=True,
+                        upsample_scales=(4,))
+    params = wavenet_init(jax.random.PRNGKey(0), cfg)
+    B, T = 1, 20
+    c = jax.random.normal(jax.random.PRNGKey(1), (B, T // 4, 4))
+    outs, em = wavenet_incremental_generate(
+        params, cfg, jax.random.PRNGKey(2), T, c=c, sample=False,
+        weight_quant="int8")
+    with pltpu.force_tpu_interpret_mode():
+        outs_f, em_f = wavenet_incremental_generate(
+            params, cfg, jax.random.PRNGKey(2), T, c=c, sample=False,
+            weight_quant="int8", use_fused_stack=True)
+    np.testing.assert_array_equal(np.asarray(em), np.asarray(em_f))
+    np.testing.assert_allclose(np.asarray(outs), np.asarray(outs_f),
+                               rtol=1e-3, atol=1e-3)

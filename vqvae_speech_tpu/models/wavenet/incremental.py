@@ -119,9 +119,9 @@ def wavenet_incremental_generate(params, cfg: WaveNetConfig, rng, T: int,
     """
     assert weight_quant in (None, "int8"), weight_quant
     if use_fused_stack:
-        # experimental Pallas fused GLU layer stack (ops/wavenet_step.py):
-        # f32 only, mutually exclusive with quantization
-        assert compute_dtype is None and weight_quant is None
+        # Pallas fused GLU layer stack (ops/wavenet_step*.py): f32
+        # activations; composes with int8 weight-only quantization
+        assert compute_dtype is None
     if compute_dtype is not None:
         params = jax.tree_util.tree_map(
             lambda v: v.astype(compute_dtype)
@@ -198,6 +198,14 @@ def wavenet_incremental_generate(params, cfg: WaveNetConfig, rng, T: int,
             "wout": jnp.stack([lw["out_w"] for lw in layer_weights]),
             "bout": jnp.stack([lw["out_b"] for lw in layer_weights]),
         }
+        if weight_quant == "int8":
+            fused_w.update(
+                stap=jnp.stack([lw["conv_w_scale"][0]
+                                for lw in layer_weights]),
+                sskip=jnp.stack([lw["skip_w_scale"][0]
+                                 for lw in layer_weights]),
+                sout=jnp.stack([lw["out_w_scale"][0]
+                                for lw in layer_weights]))
 
     def step(carry, t):
         x_in, bufs, key = carry
@@ -232,10 +240,20 @@ def wavenet_incremental_generate(params, cfg: WaveNetConfig, rng, T: int,
                     cond_rows.append(
                         jnp.zeros((B, cfg.gate_channels), x.dtype))
             cond_all = jnp.stack(cond_rows)              # (L, B, gate)
-            x, skips, x_all = fused_glu_stack_step(
-                x, taps, cond_all, fused_w["wtap"], fused_w["bias"],
-                fused_w["wskip"], fused_w["bskip"], fused_w["wout"],
-                fused_w["bout"], legacy=cfg.legacy)
+            if weight_quant == "int8":
+                from vqvae_speech_tpu.ops.wavenet_step_q import (
+                    fused_glu_stack_step_q)
+
+                x, skips, x_all = fused_glu_stack_step_q(
+                    x, taps, cond_all, fused_w["wtap"], fused_w["stap"],
+                    fused_w["bias"], fused_w["wskip"], fused_w["sskip"],
+                    fused_w["bskip"], fused_w["wout"], fused_w["sout"],
+                    fused_w["bout"], legacy=cfg.legacy)
+            else:
+                x, skips, x_all = fused_glu_stack_step(
+                    x, taps, cond_all, fused_w["wtap"], fused_w["bias"],
+                    fused_w["wskip"], fused_w["bskip"], fused_w["wout"],
+                    fused_w["bout"], legacy=cfg.legacy)
             new_bufs = [
                 jax.lax.dynamic_update_index_in_dim(
                     bufs[layer], x_all[layer],
