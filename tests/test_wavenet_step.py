@@ -69,9 +69,10 @@ def test_fused_step_q_matches_dequantized_xla():
                 jnp.stack(wout_i8), jnp.stack(sout), args["bout"],
                 legacy=legacy)
         want_x, want_s, want_all = glu_stack_step_xla(legacy=legacy, **deq)
+        # the quantized kernel runs its dots in bf16 (single MXU pass)
         np.testing.assert_allclose(np.asarray(got_x), np.asarray(want_x),
-                                   rtol=1e-4, atol=1e-5)
+                                   rtol=5e-2, atol=5e-3)
         np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
-                                   rtol=1e-4, atol=1e-5)
+                                   rtol=5e-2, atol=5e-3)
         np.testing.assert_allclose(np.asarray(got_all), np.asarray(want_all),
-                                   rtol=1e-4, atol=1e-5)
+                                   rtol=5e-2, atol=5e-3)

@@ -38,11 +38,11 @@ def _kernel(x0_ref, taps_ref, cond_ref,
         x_all_ref[0] = x_scr[:]
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    w = wtap_ref[0, 0].astype(jnp.float32)   # int8 block -> f32 in VMEM
+    # int8 block -> bf16 (cheap convert, single-pass MXU matmul)
+    w = wtap_ref[0, 0].astype(jnp.bfloat16)
     tap = jnp.where(j == k - 1, x_scr[:],
-                    taps_ref[0, 0] if k > 1 else x_scr[:])
-    acc_scr[:] += jnp.dot(tap, w, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+                    taps_ref[0, 0] if k > 1 else x_scr[:]).astype(jnp.bfloat16)
+    acc_scr[:] += jnp.dot(tap, w, preferred_element_type=jnp.float32)
 
     @pl.when(j == k - 1)
     def _():
@@ -50,18 +50,18 @@ def _kernel(x0_ref, taps_ref, cond_ref,
         g_half = acc.shape[1] // 2
         a, b = acc[:, :g_half], acc[:, g_half:]
         h = jnp.tanh(a) * jax.nn.sigmoid(b)
-        s_l = (jnp.dot(h, wskip_ref[0].astype(jnp.float32),
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+        s_l = (jnp.dot(h.astype(jnp.bfloat16),
+                       wskip_ref[0].astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
                * sskip_ref[0] + bskip_ref[0])
         if legacy:
             scale = jnp.where(l == 0, 1.0, math.sqrt(0.5))
             skip_scr[:] = (skip_scr[:] + s_l) * scale
         else:
             skip_scr[:] += s_l
-        out = (jnp.dot(h, wout_ref[0].astype(jnp.float32),
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+        out = (jnp.dot(h.astype(jnp.bfloat16),
+                       wout_ref[0].astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
                * sout_ref[0] + bout_ref[0])
         x_scr[:] = (x_scr[:] + out) * math.sqrt(0.5)
 
