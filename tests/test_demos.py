@@ -59,3 +59,25 @@ def test_balanced_vq_revival_replaces_dead_codes():
     # the far-away code must have been revived near the data
     cb = np.asarray(state["codebook"])
     assert np.linalg.norm(cb[0]) < 50.0
+
+
+def test_encode_wav_utility(tmp_path, capsys):
+    """examples/encode_wav.py end to end on a trained mini experiment."""
+    from tests.test_eval import _full_setup
+    from examples.encode_wav import main as encode_main
+    from vqvae_speech_tpu.data.vctk import VCTK
+
+    root, exps, store_root = _full_setup(tmp_path)
+    vctk = VCTK(root, shuffle_seed=0)
+    out_path = os.path.join(root, "codes.npy")
+    rc = encode_main([
+        "--wav", vctk.audios[0],
+        "--experiments_path", os.path.join(root, "experiments"),
+        "--experiment_name", "ev",
+        "--normalizer_path", os.path.join(root, "stats.pickle"),
+        "--out", out_path,
+    ])
+    assert rc == 0
+    codes = np.load(out_path)
+    assert codes.shape == (24,)
+    assert codes.min() >= 0
