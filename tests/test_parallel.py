@@ -1,4 +1,6 @@
 """Mesh/sharding unit tests on the 8-device virtual CPU mesh."""
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -133,3 +135,94 @@ def test_sequence_parallel_encoder_time_sharding():
                   in_shardings=(NamedSharding(mesh, P()), seq_sharding))
     got = fwd(params, x_sharded)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_initialize_multihost_single_host_is_noop(monkeypatch):
+    """No coordinator => no distributed init AND no backend touch."""
+    from vqvae_speech_tpu.parallel import mesh as mesh_mod
+
+    def boom(*a, **k):  # any backend instantiation is an ordering bug
+        raise AssertionError("backend touched before distributed init")
+
+    monkeypatch.setattr(jax, "process_count", boom)
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    mesh_mod.initialize_multihost()  # must not raise
+
+
+def test_initialize_multihost_orders_distributed_init_first(monkeypatch):
+    """With a coordinator, jax.distributed.initialize is called WITHOUT any
+    prior backend instantiation (jax.process_count would initialize it —
+    the round-1 ordering bug)."""
+    from vqvae_speech_tpu.parallel import mesh as mesh_mod
+
+    calls = []
+    monkeypatch.setattr(
+        jax, "process_count",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("jax.process_count called before distributed init")))
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda **kw: calls.append(kw))
+    monkeypatch.setattr(mesh_mod, "_multihost_initialized", False)
+
+    mesh_mod.initialize_multihost("localhost:1234", num_processes=2,
+                                  process_id=0)
+    assert calls == [dict(coordinator_address="localhost:1234",
+                          num_processes=2, process_id=0)]
+    # second call is a no-op (idempotent)
+    mesh_mod.initialize_multihost("localhost:1234", num_processes=2,
+                                  process_id=0)
+    assert len(calls) == 1
+
+
+def test_initialize_multihost_two_process_cpu():
+    """Real jax.distributed over two CPU processes on localhost: both hosts
+    see process_count==2 and a cross-host psum produces the global sum
+    (SURVEY.md 2.10 — the DCN path of the comm backend)."""
+    import socket
+    import subprocess
+    import sys
+    import pytest
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    script = """
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, {root!r})
+pid = int(sys.argv[1]); port = int(sys.argv[2])
+import jax
+jax.config.update("jax_platforms", "cpu")  # some images ship env-overriding plugins
+from vqvae_speech_tpu.parallel.mesh import initialize_multihost
+initialize_multihost(f"localhost:{{port}}", num_processes=2, process_id=pid)
+import jax.numpy as jnp
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 2
+from jax.experimental.multihost_utils import process_allgather
+got = process_allgather(jnp.float32(pid + 1.0))
+assert float(got.sum()) == 3.0, got
+print("MULTIHOST_OK", pid)
+""".format(root=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # each process is 1 device
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", script, str(pid), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for pid in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=120)
+            outs.append((p.returncode, out))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rc, out in outs:
+        if rc != 0 and "UNAVAILABLE" in out:
+            pytest.skip(f"distributed service unavailable in sandbox: {out[-300:]}")
+        assert rc == 0, out
+        assert "MULTIHOST_OK" in out

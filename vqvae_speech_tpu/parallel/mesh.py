@@ -21,6 +21,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+_multihost_initialized = False
+
+
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None):
@@ -28,14 +31,30 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     the mesh; afterwards `jax.devices()` spans all hosts and the same
     mesh/sharding code scales over DCN.  No-op when already initialized or
     single-process (the TPU-native replacement for a torch.distributed init
-    — the reference has none)."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    — the reference has none).
+
+    Ordering contract: ``jax.distributed.initialize`` must run BEFORE any
+    backend use, so the already-initialized guard must NOT touch the backend
+    (``jax.process_count()`` would instantiate it).  We track init state
+    ourselves and additionally consult ``jax.distributed.global_state``,
+    which is plain client state with no backend side effects.
+    """
+    global _multihost_initialized
     if coordinator_address is None:
         return  # single-host run
+    already = _multihost_initialized
+    if not already:
+        try:  # distributed client state is plain Python — no backend init
+            from jax._src.distributed import global_state
+            already = getattr(global_state, "client", None) is not None
+        except ImportError:
+            pass
+    if already:
+        return
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
+    _multihost_initialized = True
 
 
 def make_mesh(num_data: Optional[int] = None, num_model: int = 1,
