@@ -167,6 +167,88 @@ def test_speech_features_augmented_shape_and_values():
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
 
 
+# ---------------- pinned literal goldens -----------------
+#
+# Deterministic 3-tone signal; the constants below are LITERAL pins of the
+# feature pipeline so any numerics regression is caught against frozen
+# values, not against a co-evolving transcription.
+#
+# Provenance: this image ships neither python_speech_features nor librosa
+# and has no network egress, so the pins were generated from ops/dsp.py
+# (f64 path) after it passed the differential tests above.  They are
+# EXTERNALLY CHECKABLE — anyone with the real library can regenerate:
+#
+#   import numpy as np
+#   from python_speech_features import mfcc, logfbank, delta
+#   t = np.arange(7680) / 16000.0
+#   sig = (0.4*np.sin(2*np.pi*220.0*t) + 0.2*np.sin(2*np.pi*1031.0*t)
+#          + 0.1*np.sin(2*np.pi*3277.0*t))
+#   m = mfcc(sig, 16000, winfunc=np.ones)          # -> rows 0/1/23/46, mean
+#   lf = logfbank(sig, 16000)                      # -> row 23
+#   d = delta(m, 2)                                # -> row 23
+#
+# (reference call: src/speech_utils/speech_features.py:38-52, which uses the
+# library defaults exactly as above.)
+
+_PIN_SIG = lambda: (  # noqa: E731 - kept next to its provenance comment
+    0.4 * np.sin(2 * np.pi * 220.0 * np.arange(7680) / 16000.0)
+    + 0.2 * np.sin(2 * np.pi * 1031.0 * np.arange(7680) / 16000.0)
+    + 0.1 * np.sin(2 * np.pi * 3277.0 * np.arange(7680) / 16000.0))
+
+_PIN_MFCC_ROWS = {
+    0: [0.7735081375, 2.6204182039, -5.8932285321, 4.9304931018,
+        -35.1628683299, 23.7619399973, 47.0467604925, -49.4647032185,
+        -38.590920727, -20.6207414589, -47.7990702445, 9.8996039833,
+        10.0435855256],
+    1: [0.7667797424, 6.9982825865, -15.2880117801, 15.284006982,
+        -27.1943236691, 22.8133794472, 50.1163375487, -41.9070928654,
+        -35.738618175, -22.1319384873, -46.2926030865, 12.1983347189,
+        9.2598692302],
+    23: [0.7657399553, 6.4411346793, -19.8730313053, 11.4259928711,
+         -33.8674542812, 13.5741101713, 40.3754331908, -50.149125086,
+         -42.1992098366, -27.6445016298, -50.917830199, 8.3240478208,
+         5.5961421446],
+    46: [0.5431281838, 10.6602855967, -7.5758609866, 17.8605689861,
+         -41.2814954726, 21.8111849501, 58.5991676136, -33.407912545,
+         -35.1383293315, -17.2133633688, -35.9884280168, 16.8299599764,
+         8.6132385858],
+}
+_PIN_MFCC_MEAN = [0.7646535477, 5.5549301038, -12.8408263987, 12.4418722852,
+                  -29.9327972884, 22.1140918463, 49.6557657535,
+                  -43.2749909382, -37.4987916418, -22.799417198,
+                  -46.8175217865, 11.1753832488, 8.3699734118]
+_PIN_LOGFBANK_ROW23 = [
+    -9.7024386468, -5.5606781741, -2.1922517765, -4.6340804656,
+    -6.3141996002, -6.7261687382, -6.4864866054, -5.772656051,
+    -2.0322989183, -0.7462070996, -4.4980308536, -6.0628130495,
+    -6.442125947, -6.703486149, -6.5540689604, -6.1814650578,
+    -5.4285664018, -0.7325976926, -0.1060699987, -5.2338249081,
+    -6.6751544166, -7.4432090429, -7.9576960473, -8.283800986,
+    -8.5104147368, -8.6049316969]
+_PIN_DELTA_ROW23 = [0.0015703607, -0.1411532724, -0.6328964287, 0.5539001015,
+                    1.4100351143, 0.8611732211, 0.2924780308, 0.1057928663,
+                    -0.0966407942, -0.4096287989, -0.4433336078,
+                    -0.2748675502, -0.242901083]
+
+
+def test_mfcc_matches_pinned_literals():
+    sig = _PIN_SIG()
+    m = np.asarray(mfcc(jnp.asarray(sig, dtype=jnp.float64)))
+    assert m.shape == (47, 13)
+    for row, want in _PIN_MFCC_ROWS.items():
+        np.testing.assert_allclose(m[row], want, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(m.mean(0), _PIN_MFCC_MEAN, rtol=1e-9, atol=1e-9)
+
+
+def test_logfbank_and_delta_match_pinned_literals():
+    sig = _PIN_SIG()
+    lf = np.asarray(logfbank(jnp.asarray(sig, dtype=jnp.float64), nfilt=26))
+    np.testing.assert_allclose(lf[23], _PIN_LOGFBANK_ROW23, rtol=1e-9, atol=1e-9)
+    m = np.asarray(mfcc(jnp.asarray(sig, dtype=jnp.float64)))
+    d = np.asarray(delta(jnp.asarray(m), 2))
+    np.testing.assert_allclose(d[23], _PIN_DELTA_ROW23, rtol=1e-9, atol=1e-9)
+
+
 def test_batched_matches_single():
     sigs = np.stack([_rand_signal(seed=s) for s in range(3)])
     batched = np.asarray(mfcc(jnp.asarray(sigs, dtype=jnp.float64)))

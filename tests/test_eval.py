@@ -131,6 +131,11 @@ def test_losses_plotter(tmp_path):
     rp = os.path.join(root, "results")
     assert os.path.isfile(os.path.join(rp, "ev_losses-and-perplexities.png"))
     assert os.path.isfile(os.path.join(rp, "merged_loss.png"))
+    # per-loss-type figure family (reference losses_plotter.py:228-261):
+    # every recorded loss term except the total gets its own figure
+    for loss_name in ("reconstruction_loss", "vq_loss", "commitment_loss"):
+        assert os.path.isfile(os.path.join(rp, f"{loss_name}.png")), loss_name
+    assert not os.path.isfile(os.path.join(rp, "loss.png"))
 
 
 def test_clustering_metrics_evolution_and_stability(tmp_path):

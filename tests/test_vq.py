@@ -62,15 +62,17 @@ def test_xla_search_matches_torch():
 
 def test_pallas_search_matches_xla_interpret():
     # interpret mode runs the kernel on CPU; validates masking/accumulation,
-    # including a non-multiple-of-tile N.
+    # including ragged last tiles (N not a multiple of tile_n).
+    from jax.experimental.pallas import tpu as pltpu
+    from vqvae_speech_tpu.ops.vq import _vq_search_pallas_fwd
+
     rng = np.random.default_rng(2)
     for N, K in [(96, 44), (600, 128), (48, 29)]:
         flat = jnp.asarray(rng.standard_normal((N, 64)).astype(np.float32))
         cb = jnp.asarray(rng.standard_normal((K, 64)).astype(np.float32))
-        from jax.experimental.pallas import tpu as pltpu
 
         with pltpu.force_tpu_interpret_mode():
-            got = vq_search_pallas(flat, cb, tile_n=256)
+            got = _vq_search_pallas_fwd(flat, cb, tile_n=256)
         want = vq_search_xla(flat, cb)
         np.testing.assert_array_equal(np.asarray(got.indices),
                                       np.asarray(want.indices))
@@ -80,6 +82,36 @@ def test_pallas_search_matches_xla_interpret():
                                    np.asarray(want.counts), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(got.dw),
                                    np.asarray(want.dw), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_search_vjp_matches_xla_chain():
+    """The custom VJP (onehot-routed cotangents) must equal autograd on the
+    XLA op chain — same loss, same gradients for codebook and flat."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(7)
+    flat = jnp.asarray(rng.standard_normal((72, 16)).astype(np.float32))
+    cb = jnp.asarray(rng.standard_normal((11, 16)).astype(np.float32))
+
+    def loss_fn(search):
+        def f(flat, cb):
+            res = search(flat, cb)
+            # touch every differentiable output
+            return (jnp.sum(jnp.square(res.quantized)) +
+                    0.5 * jnp.sum(res.dw * res.dw) +
+                    jnp.sum(res.counts))
+        return f
+
+    want_val, (want_gf, want_gc) = jax.value_and_grad(
+        loss_fn(vq_search_xla), argnums=(0, 1))(flat, cb)
+    with pltpu.force_tpu_interpret_mode():
+        got_val, (got_gf, got_gc) = jax.value_and_grad(
+            loss_fn(vq_search_pallas), argnums=(0, 1))(flat, cb)
+    np.testing.assert_allclose(float(got_val), float(want_val), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_gf), np.asarray(want_gf),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_gc), np.asarray(want_gc),
+                               rtol=1e-4, atol=1e-5)
 
 
 def _torch_vq_forward(z_bct, cb, commitment_cost):

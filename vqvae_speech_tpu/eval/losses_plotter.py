@@ -60,22 +60,30 @@ def plot_experiment_losses(experiment_name: str, experiments_path: str,
 
 def plot_merged_losses(experiment_names, experiments_path: str,
                        output_path: str, loss_key: str = "loss"):
+    """Cross-experiment figure for one loss key, plus a perplexity panel
+    (reference 'merged-loss-and-perplexity', losses_plotter.py:140-185)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, ax = plt.subplots(figsize=(12, 6))
+    fig, axs = plt.subplots(1, 2, figsize=(16, 6))
     for name in experiment_names:
-        losses, _ = merge_checkpoint_losses(experiments_path, name)
+        losses, perplexities = merge_checkpoint_losses(
+            experiments_path, name)
         if not losses:
             continue
         series = _loss_series(losses)
         if loss_key in series:
-            ax.plot(_smooth(series[loss_key]), label=name)
-    ax.set_yscale("log")
-    ax.set_ylabel(loss_key)
-    ax.set_xlabel("step")
-    ax.legend()
+            axs[0].plot(_smooth(series[loss_key]), label=name)
+        if perplexities:
+            axs[1].plot(_smooth(perplexities), label=name)
+    axs[0].set_yscale("log")
+    axs[0].set_ylabel(loss_key)
+    axs[0].set_xlabel("step")
+    axs[0].legend()
+    axs[1].set_ylabel("perplexity")
+    axs[1].set_xlabel("step")
+    axs[1].legend()
     os.makedirs(output_path, exist_ok=True)
     out = os.path.join(output_path, f"merged_{loss_key}.png")
     fig.savefig(out, bbox_inches="tight")
@@ -83,10 +91,52 @@ def plot_merged_losses(experiment_names, experiments_path: str,
     return out
 
 
+def plot_loss_type_figures(experiment_names, experiments_path: str,
+                           output_path: str):
+    """One figure PER LOSS TYPE across experiments (reference
+    _plot_merged_all_losses_type, losses_plotter.py:228-261: every loss key
+    except the total 'loss' gets its own '{loss_name}.png' comparing all
+    experiments)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    by_type = {}   # loss_name -> [(experiment_name, values)]
+    for name in experiment_names:
+        losses, _ = merge_checkpoint_losses(experiments_path, name)
+        if not losses:
+            continue
+        for loss_name, values in _loss_series(losses).items():
+            if loss_name == "loss":
+                continue
+            by_type.setdefault(loss_name, []).append((name, values))
+
+    os.makedirs(output_path, exist_ok=True)
+    outs = []
+    for loss_name, curves in by_type.items():
+        fig, ax = plt.subplots(figsize=(8, 8))
+        for exp_name, values in curves:
+            ax.plot(_smooth(values), label=exp_name)
+        ax.set_title("Smoothed " + loss_name.replace("_", " "))
+        ax.set_xlabel("step")
+        ax.set_ylabel("loss")
+        ax.set_yscale("log")
+        ax.legend()
+        out = os.path.join(output_path, f"{loss_name}.png")
+        fig.savefig(out, bbox_inches="tight")
+        plt.close(fig)
+        ConsoleLogger.success(f"Saved figure at path '{out}'")
+        outs.append(out)
+    return outs
+
+
 def plot_training_losses(experiments, experiments_path: str):
-    """Entry point for the --plot_experiments_losses CLI mode."""
+    """Entry point for the --plot_experiments_losses CLI mode.  Emits the
+    reference's full figure family: per-experiment loss+perplexity, merged
+    across experiments, and one figure per loss type."""
     names = [e.name for e in experiments]
     results_path = experiments[0].results_path if experiments else "results"
     for name in names:
         plot_experiment_losses(name, experiments_path, results_path)
     plot_merged_losses(names, experiments_path, results_path)
+    plot_loss_type_figures(names, experiments_path, results_path)

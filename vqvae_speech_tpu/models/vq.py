@@ -86,9 +86,12 @@ def vector_quantizer_apply(
 
     flat = reference_flatten(z_btc, D)  # (N, D), N = B*T when C == D
     res = vq_search(flat, codebook, use_pallas=use_pallas)
-    # indices are ints (no grad); the quantize matmul below is differentiable
-    # XLA so the gradient variant's q-latent loss reaches the codebook even
-    # when the search itself ran in the (non-differentiable) Pallas kernel.
+    # res.quantized is differentiable on both dispatch paths with identical
+    # a.e. semantics (custom VJP routes g_quantized to the codebook through
+    # the saved one-hot — exactly what autograd does on the XLA chain, where
+    # the int argmin blocks any gradient to the distances).  The onehot
+    # below feeds only the EMA re-quantize and the evaluator's encodings
+    # view; XLA dead-code-eliminates it from the gradient-variant train step.
     onehot = jax.nn.one_hot(res.indices, K, dtype=flat.dtype)
 
     new_state = None
@@ -111,11 +114,15 @@ def vector_quantizer_apply(
         }
     elif ema:
         new_state = state
-    quant_flat = jnp.dot(
-        onehot,
-        jax.lax.stop_gradient(codebook) if ema else codebook,
-        preferred_element_type=flat.dtype,
-    )
+    if ema:
+        # update-before-quantize quirk: the EMA variant quantizes with the
+        # UPDATED codebook (reference vector_quantizer_ema.py:143-159), so
+        # the kernel's pre-update quantized rows cannot be used here.
+        quant_flat = jnp.dot(
+            onehot, jax.lax.stop_gradient(codebook),
+            preferred_element_type=flat.dtype)
+    else:
+        quant_flat = res.quantized.astype(flat.dtype)
 
     quantized = reference_unflatten(quant_flat, B, T, C)
 
@@ -138,7 +145,9 @@ def vector_quantizer_apply(
     # Straight-through estimator (reference vector_quantizer.py:141).
     quantized_st = z_btc + jax.lax.stop_gradient(quantized - z_btc)
 
-    avg_probs = jnp.mean(onehot, axis=0)
+    # mean(onehot, 0) == counts / N (the kernel's masked column sums), so the
+    # train step never materializes the one-hot at all.
+    avg_probs = res.counts.astype(flat.dtype) / flat.shape[0]
     perplexity = jnp.exp(-jnp.sum(avg_probs * jnp.log(avg_probs + 1e-10)))
 
     # Reference-layout views for the evaluator: encodings/distances are

@@ -15,6 +15,13 @@ two matmuls ride the MXU, the argmin/one-hot ride the VPU, and z is read from
 HBM exactly once (the PyTorch version materializes distances and onehot in
 HBM; the fusion removes ~2(NK + NDK/…) bytes of HBM traffic per step).
 
+The Pallas path is differentiable via ``jax.custom_vjp``: the argmin is
+piecewise constant, so the exact VJP treats the one-hot as locally constant —
+``g_codebook = onehot^T @ g_quantized`` and ``g_flat = onehot @ g_dw`` (both
+rebuilt from the saved indices; counts/indices carry no gradient).  This is
+identical to differentiating the XLA chain with a stop-gradient on the argmin,
+which is what the reference's autograd does (scatter on detached indices).
+
 **Parity-critical flatten semantics.** The reference flattens its (B, C, T)
 input via ``permute(1, 2, 0).contiguous().view(-1, D)``
 (vector_quantizer.py:88-93) — i.e. rows of the flattened matrix are 64
@@ -81,18 +88,22 @@ def vq_search_xla(flat, codebook):
 # -------------------- Pallas fused kernel --------------------
 
 
-def _vq_kernel(flat_ref, cb_ref, cbsq_ref, n_ref,
-               idx_ref, q_ref, counts_ref, dw_ref):
+def _vq_kernel(flat_ref, cb_ref, n_ref, idx_ref, q_ref, counts_ref, dw_ref):
     i = pl.program_id(0)
     tile_n = flat_ref.shape[0]
     K = cb_ref.shape[0]
 
     z = flat_ref[:]                                   # (tile_n, D)
     cb = cb_ref[:]                                    # (K, D)
-    # full reference distance formula (vector_quantizer.py:96-98); keeping the
-    # row-constant ||z||^2 term preserves float near-tie behavior vs the XLA path
+    # full reference distance formula (vector_quantizer.py:96-98), including
+    # the row-constant ||z||^2 term: it cannot change the argmin in exact
+    # arithmetic, and keeping it preserves float near-tie behavior vs the
+    # XLA path bit-for-bit.  ||e||^2 is recomputed per tile from the resident
+    # cb block — K*D ops on the VPU, cheaper than a separate XLA kernel +
+    # an extra HBM input.
     zsq = jnp.sum(jnp.square(z), axis=1, keepdims=True)
-    d = zsq + cbsq_ref[:].reshape(1, K) - 2.0 * jnp.dot(
+    cbsq = jnp.sum(jnp.square(cb), axis=1).reshape(1, K)
+    d = zsq + cbsq - 2.0 * jnp.dot(
         z, cb.T, preferred_element_type=jnp.float32
     )                                                 # (tile_n, K)
     idx = jnp.argmin(d, axis=1).astype(jnp.int32)     # (tile_n,)
@@ -101,10 +112,11 @@ def _vq_kernel(flat_ref, cb_ref, cbsq_ref, n_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile_n, K), 1)
     onehot = (lane == idx[:, None]).astype(jnp.float32)
 
-    # mask rows past the true N (padding rows must not pollute stats)
+    # mask rows past the true N (the ragged last tile's garbage rows must
+    # not pollute the counts/dw accumulators)
     row = jax.lax.broadcasted_iota(jnp.int32, (tile_n, 1), 0) + i * tile_n
-    valid = (row < n_ref[0]).astype(jnp.float32)      # (tile_n, 1)
-    masked_onehot = onehot * valid
+    valid = row < n_ref[0]                            # (tile_n, 1) bool
+    masked_onehot = jnp.where(valid, onehot, 0.0)
 
     idx_ref[:] = idx.reshape(tile_n, 1)
     q_ref[:] = jnp.dot(onehot, cb, preferred_element_type=jnp.float32)
@@ -115,24 +127,25 @@ def _vq_kernel(flat_ref, cb_ref, cbsq_ref, n_ref,
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
     counts_ref[:] += jnp.sum(masked_onehot, axis=0, keepdims=True)
-    dw_ref[:] += jnp.dot(masked_onehot.T, z, preferred_element_type=jnp.float32)
+    # z's out-of-bounds rows are uninitialized (NaN in interpret mode) and
+    # 0 * NaN = NaN, so the dw contraction needs z where-masked as well
+    dw_ref[:] += jnp.dot(masked_onehot.T, jnp.where(valid, z, 0.0),
+                         preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_n",))
-def vq_search_pallas(flat, codebook, tile_n: int = 512):
-    """Fused codebook search. flat (N, D) f32, codebook (K, D) f32.
+def _vq_search_pallas_fwd(flat, codebook, tile_n: int = 1024):
+    """One fused pallas_call.  flat (N, D) f32, codebook (K, D) f32.
 
-    Grid over row tiles; counts/dw accumulate across the sequential TPU grid.
-    Distance uses the ||e||^2 - 2 z.e form (dropping the row-constant ||z||^2,
-    which cannot change the argmin) — fewer VPU ops and exactly the tie
-    behavior of the full formula for equal-distance codes.
+    Grid over row tiles with a RAGGED last tile (Pallas masks the
+    out-of-bounds writes; garbage rows in the last tile are excluded from
+    the counts/dw accumulators by the in-kernel n mask) — no host-side
+    padding copy, and outputs come out at exactly N rows.
     """
     N, D = flat.shape
     K = codebook.shape[0]
-    n_pad = -N % tile_n
-    flat_p = jnp.pad(flat.astype(jnp.float32), ((0, n_pad), (0, 0)))
-    grid = (flat_p.shape[0] // tile_n,)
-    cbsq = jnp.sum(jnp.square(codebook.astype(jnp.float32)), axis=1).reshape(1, K)
+    tile_n = min(tile_n, max(8, -(-N // 8) * 8))  # never tile wider than N
+    grid = (-(-N // tile_n),)
 
     idx, q, counts, dw = pl.pallas_call(
         _vq_kernel,
@@ -140,7 +153,6 @@ def vq_search_pallas(flat, codebook, tile_n: int = 512):
         in_specs=[
             pl.BlockSpec((tile_n, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -150,29 +162,56 @@ def vq_search_pallas(flat, codebook, tile_n: int = 512):
             pl.BlockSpec((K, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((flat_p.shape[0], 1), jnp.int32),
-            jax.ShapeDtypeStruct((flat_p.shape[0], D), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1), jnp.int32),
+            jax.ShapeDtypeStruct((N, D), jnp.float32),
             jax.ShapeDtypeStruct((1, K), jnp.float32),
             jax.ShapeDtypeStruct((K, D), jnp.float32),
         ],
-    )(flat_p, codebook.astype(jnp.float32), cbsq, jnp.array([N], jnp.int32))
+    )(flat.astype(jnp.float32), codebook.astype(jnp.float32),
+      jnp.array([N], jnp.int32))
 
-    return VQSearchResult(idx[:N, 0], q[:N], counts[0], dw)
+    return VQSearchResult(idx[:, 0], q, counts[0], dw)
 
 
-# Below this many distance-matrix elements the fused kernel's launch/padding
-# overhead loses to XLA's own fusion (measured on v5e: XLA wins at the
-# flagship's 6k x 44, Pallas wins at 65k x 512).
-_PALLAS_MIN_ELEMENTS = 4 << 20
+@jax.custom_vjp
+def vq_search_pallas(flat, codebook):
+    """Fused Pallas codebook search, differentiable (see module docstring)."""
+    return _vq_search_pallas_fwd(flat, codebook)
+
+
+def _vq_vjp_fwd(flat, codebook):
+    res = _vq_search_pallas_fwd(flat, codebook)
+    return res, (res.indices, codebook.shape[0])
+
+
+def _vq_vjp_bwd(residuals, g):
+    idx, K = residuals
+    g_q = g.quantized
+    g_dw = g.dw
+    onehot = jax.nn.one_hot(idx, K, dtype=g_q.dtype)
+    # quantized = onehot @ codebook  (argmin locally constant)
+    g_codebook = jnp.dot(onehot.T, g_q, preferred_element_type=g_q.dtype)
+    # dw = onehot^T @ flat
+    g_flat = jnp.dot(onehot, g_dw, preferred_element_type=g_dw.dtype)
+    return g_flat, g_codebook
+
+
+vq_search_pallas.defvjp(_vq_vjp_fwd, _vq_vjp_bwd)
+
+
+# The fused kernel beats the XLA op chain from small sizes up on real TPU
+# (measured on v5e, see RESULTS.md: flagship 6016x44 included) — the
+# crossover only matters below ~1k rows where both are launch-bound.
+_PALLAS_MIN_ROWS = 2048
 
 
 def vq_search(flat, codebook, use_pallas: bool = None):
-    """Dispatch: fused Pallas kernel on TPU for large problems, XLA
-    otherwise (size heuristic measured on v5e — see _PALLAS_MIN_ELEMENTS)."""
+    """Dispatch: fused Pallas kernel on TPU (including the flagship
+    vq44-mfcc39 shape), XLA elsewhere / for tiny launch-bound problems."""
     if use_pallas is None:
         use_pallas = (
             jax.default_backend() == "tpu"
-            and flat.shape[0] * codebook.shape[0] >= _PALLAS_MIN_ELEMENTS)
+            and flat.shape[0] >= _PALLAS_MIN_ROWS)
     if use_pallas:
         return vq_search_pallas(flat, codebook)
     return vq_search_xla(flat, codebook)
