@@ -162,18 +162,28 @@ def bench_torch(batch=16, iters=4):
     return frames / best
 
 
+# Pinned torch-CPU baseline: best-of-10 bench_torch() on this image's
+# 1-vCPU container under idle load (measured 2026-08-16, values 4.2k-5.0k,
+# best 5015; regenerate with scripts/measure_torch_baseline.py).  Pinning
+# makes vs_baseline reproducible run-to-run — the live torch measurement is
+# load-sensitive (+-10% even best-of-3) and is reported separately.
+PINNED_TORCH_CPU_FPS = 5000.0
+
+
 def main():
     jax_fps = bench_jax()
+    vs_baseline = round(jax_fps / PINNED_TORCH_CPU_FPS, 2)
     try:
-        torch_fps = bench_torch()
-        vs_baseline = round(jax_fps / torch_fps, 2)
+        vs_live = round(jax_fps / bench_torch(), 2)
     except Exception:
-        vs_baseline = None
+        vs_live = None
     print(json.dumps({
         "metric": "mfcc_encode_vq_throughput",
         "value": round(jax_fps, 1),
         "unit": "frames/s/chip",
         "vs_baseline": vs_baseline,
+        "vs_baseline_live": vs_live,
+        "baseline_pinned_fps": PINNED_TORCH_CPU_FPS,
     }))
 
 
