@@ -50,6 +50,51 @@ def test_augment_tempo_gain_changes_length():
     assert abs(len(out) - 16000) < 16000 * 0.2
 
 
+def test_wsola_preserves_pitch():
+    """The reference's sox `tempo` is pitch-preserving WSOLA
+    (spectrogram_parser.py:117-129): a 220 Hz tone stretched 0.85x/1.15x
+    must keep its dominant frequency at 220 Hz (plain resampling would
+    shift it to 220/tempo)."""
+    from vqvae_speech_tpu.data.noise_injector import wsola_time_stretch
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+
+    def dominant_hz(x):
+        spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+        return np.argmax(spec) * sr / len(x)
+
+    for tempo in (0.85, 1.15):
+        out = wsola_time_stretch(tone, tempo, sr)
+        # duration scales ~1/tempo
+        assert abs(len(out) - sr / tempo) < sr * 0.05, (tempo, len(out))
+        # pitch unchanged (within one FFT bin)
+        assert abs(dominant_hz(out) - 220.0) < 5.0, (tempo, dominant_hz(out))
+        # resampling by contrast WOULD move the pitch: sanity of the check
+        from scipy.signal import resample_poly
+        res = resample_poly(tone, int(round(1000 / tempo)), 1000)
+        assert abs(dominant_hz(res.astype(np.float32)) - 220.0) > 20.0
+
+
+def test_wsola_identity_and_continuity():
+    from vqvae_speech_tpu.data.noise_injector import wsola_time_stretch
+
+    sr = 16000
+    t = np.arange(sr // 2) / sr
+    x = (0.5 * np.sin(2 * np.pi * 330.0 * t)).astype(np.float32)
+    # tempo 1.0 is the identity
+    np.testing.assert_array_equal(wsola_time_stretch(x, 1.0, sr), x)
+    # stretched output has no overlap-add discontinuities: max abs diff of
+    # adjacent samples stays in the range of the tone's own slope
+    out = wsola_time_stretch(x, 0.9, sr)
+    max_step = np.abs(np.diff(out)).max()
+    tone_step = np.abs(np.diff(x)).max()
+    assert max_step < 2.0 * tone_step, (max_step, tone_step)
+    # empty input round-trips
+    assert len(wsola_time_stretch(np.zeros(0, np.float32), 1.2, sr)) == 0
+
+
 def test_spectrogram_dataset(tmp_path):
     wav_path = str(tmp_path / "a.wav")
     txt_path = str(tmp_path / "a.txt")

@@ -3,14 +3,14 @@
 Capability-parity with reference src/dataset/noise_injector.py:34-83 (which
 shells out to sox/soxi per sample) and the sox tempo/gain augmentation in
 src/dataset/spectrogram_parser.py:103-129 — reimplemented with in-process
-numpy/scipy: noise files are memory-mapped wavs, cropping/resampling is
-polyphase, and the energy-matched mixing formula is identical:
+numpy: noise files are loaded directly, and the energy-matched mixing
+formula is identical:
 
     data += noise_level * noise * rms(data) / rms(noise)
 
-Tempo change is resampling-based (changes pitch with rate, unlike sox's
-pitch-preserving WSOLA — documented deviation; the augmentation's purpose is
-robustness noise, not pitch fidelity).
+Tempo change is a real WSOLA time-stretch (`wsola_time_stretch`) — the same
+algorithm sox's `tempo` effect uses — so pitch is preserved, matching the
+reference's augmentation semantics exactly (no pitch shift at tempo != 1).
 """
 import os
 
@@ -59,16 +59,66 @@ class NoiseInjector:
                 / noise_energy).astype(np.float32)
 
 
+def wsola_time_stretch(x, tempo: float, sample_rate: int = 16000,
+                       win_ms: float = 25.0, tol_ms: float = 7.5):
+    """Pitch-preserving time stretch (WSOLA — the algorithm behind sox's
+    `tempo` effect used by the reference, spectrogram_parser.py:117-129).
+
+    tempo > 1 speeds up (shorter output), < 1 slows down; pitch unchanged.
+    Overlap-add of windowed analysis frames whose positions are searched
+    within +-tol of the nominal grid to maximize cross-correlation with the
+    natural continuation of the previous frame (waveform-similarity OLA).
+    Host-side preprocessing: numpy only, ~len/Hs correlation searches.
+    """
+    x = np.asarray(x, np.float32)
+    N = max(int(round(win_ms * sample_rate / 1000.0)) & ~1, 4)  # even
+    if abs(tempo - 1.0) < 1e-6 or len(x) <= N:
+        return x.copy()  # shorter than one window: nothing to align
+    Hs = N // 2                                   # synthesis hop
+    Ha = Hs * tempo                               # analysis hop
+    tol = max(int(round(tol_ms * sample_rate / 1000.0)), 1)
+    win = np.hanning(N).astype(np.float32)
+
+    n_frames = max(int((len(x) - N - tol) / Ha), 1)
+    out_len = (n_frames - 1) * Hs + N
+    out = np.zeros(out_len, np.float32)
+    norm = np.zeros(out_len, np.float32)
+
+    seg_start = 0                                 # first frame: no search
+    out[:N] += win * x[:N]
+    norm[:N] += win
+    for k in range(1, n_frames):
+        natural = x[seg_start + Hs: seg_start + Hs + N]  # ideal continuation
+        nominal = int(round(k * Ha))
+        lo = max(nominal - tol, 0)
+        hi = min(nominal + tol, len(x) - N)
+        if hi <= lo:
+            seg_start = max(min(nominal, len(x) - N), 0)
+        else:
+            # best-matching segment within the tolerance window
+            search = x[lo: hi + N]
+            corr = np.correlate(search, natural, mode="valid")[: hi - lo + 1]
+            seg_start = lo + int(np.argmax(corr))
+        pos = k * Hs
+        out[pos: pos + N] += win * x[seg_start: seg_start + N]
+        norm[pos: pos + N] += win
+    out /= np.maximum(norm, 1e-6)
+    # drop the tail where the final window tapers out (norm ~ 0 there, so
+    # the un-overlapped samples are attenuated garbage), then trim to the
+    # exact stretched length when shorter than synthesized
+    covered = np.nonzero(norm >= 0.1)[0]
+    out = out[: covered[-1] + 1] if len(covered) else out[:0]
+    target = int(round(len(x) / tempo))
+    return out[:target] if target < len(out) else out
+
+
 def augment_tempo_gain(audio, sample_rate: int = 16000,
                        tempo_range=(0.85, 1.15), gain_range=(-6, 8),
                        rng=None):
-    """Random tempo (resampling-based) + gain (dB) perturbation
-    (reference spectrogram_parser.py:103-129)."""
-    from scipy.signal import resample_poly
-
+    """Random pitch-preserving tempo (WSOLA) + gain (dB) perturbation
+    (reference spectrogram_parser.py:103-129: sox `tempo {t} gain {g}`)."""
     rng = rng or np.random.default_rng()
     tempo = rng.uniform(*tempo_range)
     gain_db = rng.uniform(*gain_range)
-    up = max(int(round(1000 / tempo)), 1)
-    out = resample_poly(audio, up, 1000).astype(np.float32)
-    return out * (10.0 ** (gain_db / 20.0))
+    out = wsola_time_stretch(audio, tempo, sample_rate)
+    return (out * (10.0 ** (gain_db / 20.0))).astype(np.float32)
