@@ -14,4 +14,13 @@ demo:          ## 2-D VQ clustering demos -> PNGs in examples/
 smoke:         ## full-scale training smoke on the TPU
 	python scripts/smoke_run_tpu.py
 
-.PHONY: test test-fast bench demo smoke
+quality:       ## hardware quality gate (3-seed jitter12, ARI/AMI/NMI)
+	python scripts/quality_run_tpu.py
+
+bench-decode:  ## single-stream AR decode configurations on the TPU
+	python scripts/bench_decode_tpu.py
+
+profile-encode: ## component-level encode profile on the TPU
+	python scripts/profile_encode_tpu.py
+
+.PHONY: test test-fast bench demo smoke quality bench-decode profile-encode

@@ -264,8 +264,8 @@ def test_fused_stack_int8_decode_close_to_plain_int8():
         outs_f, em_f = wavenet_incremental_generate(
             params, cfg, jax.random.PRNGKey(2), T, c=c, sample=False,
             weight_quant="int8", use_fused_stack=True)
-    # the fused-q kernel runs bf16 dots: a near-tie argmax can flip and the
-    # greedy trajectories then diverge — require strong agreement, not
-    # equality
+    # the fused-q kernel quantizes activations to int8 for the MXU dots: a
+    # near-tie argmax can flip and the greedy trajectories then diverge —
+    # require strong agreement, not equality
     agree = np.mean(np.asarray(em) == np.asarray(em_f))
     assert agree > 0.85, agree
