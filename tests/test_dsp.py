@@ -255,3 +255,20 @@ def test_batched_matches_single():
     for b in range(3):
         single = np.asarray(mfcc(jnp.asarray(sigs[b], dtype=jnp.float64)))
         np.testing.assert_allclose(batched[b], single, rtol=1e-12, atol=1e-12)
+
+
+def test_power_spectrum_dft_matches_rfft():
+    """The MXU matmul-DFT path must match the rfft path (it is exact math;
+    only float accumulation differs)."""
+    from vqvae_speech_tpu.ops.dsp import power_spectrum, frame_signal, preemphasis
+
+    sig = _rand_signal(seed=9).astype(np.float32)
+    frames = frame_signal(preemphasis(jnp.asarray(sig)), 400, 160)
+    want = np.asarray(power_spectrum(frames, method="rfft"))
+    got = np.asarray(power_spectrum(frames, method="dft"))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-7)
+    # f64 exactness
+    frames64 = frames.astype(jnp.float64)
+    np.testing.assert_allclose(np.asarray(power_spectrum(frames64, method="dft")),
+                               np.asarray(power_spectrum(frames64, method="rfft")),
+                               rtol=1e-9, atol=1e-12)

@@ -245,27 +245,17 @@ def test_fused_stack_decode_matches_default_path():
                                rtol=1e-4, atol=1e-4)
 
 
-def test_fused_stack_int8_decode_close_to_plain_int8():
-    """use_fused_stack + int8: matches the plain int8 scan path."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    cfg = WaveNetConfig(out_channels=24, layers=4, stacks=2,
+def test_fused_stack_rejects_int8():
+    """use_fused_stack + int8 was removed after the roofline analysis
+    (RESULTS.md: the plain int8 scan runs at ~95% of the HBM weight-
+    streaming floor, so the kernel can only lose); the combination must
+    fail loudly, not silently pick a path."""
+    cfg = WaveNetConfig(out_channels=24, layers=2, stacks=1,
                         residual_channels=16, gate_channels=16,
-                        skip_out_channels=16, kernel_size=3, dropout=0.0,
-                        cin_channels=4, upsample_conditional_features=True,
-                        upsample_scales=(4,))
+                        skip_out_channels=16, kernel_size=2, dropout=0.0,
+                        cin_channels=-1, upsample_conditional_features=False)
     params = wavenet_init(jax.random.PRNGKey(0), cfg)
-    B, T = 1, 20
-    c = jax.random.normal(jax.random.PRNGKey(1), (B, T // 4, 4))
-    outs, em = wavenet_incremental_generate(
-        params, cfg, jax.random.PRNGKey(2), T, c=c, sample=False,
-        weight_quant="int8")
-    with pltpu.force_tpu_interpret_mode():
-        outs_f, em_f = wavenet_incremental_generate(
-            params, cfg, jax.random.PRNGKey(2), T, c=c, sample=False,
+    with pytest.raises(AssertionError, match="streaming floor"):
+        wavenet_incremental_generate(
+            params, cfg, jax.random.PRNGKey(2), 4, sample=False,
             weight_quant="int8", use_fused_stack=True)
-    # the fused-q kernel quantizes activations to int8 for the MXU dots: a
-    # near-tie argmax can flip and the greedy trajectories then diverge —
-    # require strong agreement, not equality
-    agree = np.mean(np.asarray(em) == np.asarray(em_f))
-    assert agree > 0.85, agree

@@ -119,9 +119,16 @@ def wavenet_incremental_generate(params, cfg: WaveNetConfig, rng, T: int,
     """
     assert weight_quant in (None, "int8"), weight_quant
     if use_fused_stack:
-        # Pallas fused GLU layer stack (ops/wavenet_step*.py): f32
-        # activations; composes with int8 weight-only quantization
+        # Pallas fused GLU layer stack (ops/wavenet_step.py), f32 only.
+        # An int8 composition was built and measured in rounds 1-2 and
+        # REMOVED: the plain int8 scan already runs at ~95% of the HBM
+        # weight-streaming floor (RESULTS.md roofline), so the kernel's
+        # grid overhead can only lose — use weight_quant='int8' alone for
+        # the fastest single-stream decode.
         assert compute_dtype is None
+        assert weight_quant is None, (
+            "use_fused_stack composes with f32 only; the int8 scan path is "
+            "already at the weight-streaming floor (see RESULTS.md)")
     if compute_dtype is not None:
         params = jax.tree_util.tree_map(
             lambda v: v.astype(compute_dtype)
@@ -198,15 +205,6 @@ def wavenet_incremental_generate(params, cfg: WaveNetConfig, rng, T: int,
             "wout": jnp.stack([lw["out_w"] for lw in layer_weights]),
             "bout": jnp.stack([lw["out_b"] for lw in layer_weights]),
         }
-        if weight_quant == "int8":
-            fused_w.update(
-                stap=jnp.stack([lw["conv_w_scale"][0]
-                                for lw in layer_weights]),
-                sskip=jnp.stack([lw["skip_w_scale"][0]
-                                 for lw in layer_weights]),
-                sout=jnp.stack([lw["out_w_scale"][0]
-                                for lw in layer_weights]))
-
     def step(carry, t):
         x_in, bufs, key = carry
         key, k_sample = jax.random.split(key)
@@ -240,20 +238,10 @@ def wavenet_incremental_generate(params, cfg: WaveNetConfig, rng, T: int,
                     cond_rows.append(
                         jnp.zeros((B, cfg.gate_channels), x.dtype))
             cond_all = jnp.stack(cond_rows)              # (L, B, gate)
-            if weight_quant == "int8":
-                from vqvae_speech_tpu.ops.wavenet_step_q import (
-                    fused_glu_stack_step_q)
-
-                x, skips, x_all = fused_glu_stack_step_q(
-                    x, taps, cond_all, fused_w["wtap"], fused_w["stap"],
-                    fused_w["bias"], fused_w["wskip"], fused_w["sskip"],
-                    fused_w["bskip"], fused_w["wout"], fused_w["sout"],
-                    fused_w["bout"], legacy=cfg.legacy)
-            else:
-                x, skips, x_all = fused_glu_stack_step(
-                    x, taps, cond_all, fused_w["wtap"], fused_w["bias"],
-                    fused_w["wskip"], fused_w["bskip"], fused_w["wout"],
-                    fused_w["bout"], legacy=cfg.legacy)
+            x, skips, x_all = fused_glu_stack_step(
+                x, taps, cond_all, fused_w["wtap"], fused_w["bias"],
+                fused_w["wskip"], fused_w["bskip"], fused_w["wout"],
+                fused_w["bout"], legacy=cfg.legacy)
             new_bufs = [
                 jax.lax.dynamic_update_index_in_dim(
                     bufs[layer], x_all[layer],

@@ -15,6 +15,7 @@ once and streams batches at HBM bandwidth.
 import functools
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -57,11 +58,44 @@ def preemphasis(signal, coeff: float = 0.97):
     )
 
 
-def power_spectrum(frames, nfft: int = 512):
-    """1/nfft * |rfft(frames, nfft)|^2 over the last axis."""
+@functools.lru_cache(maxsize=None)
+def _dft_basis(frame_len: int, nfft: int):
+    """cos/sin real-DFT basis, (frame_len, nfft//2+1) f64 numpy.
+
+    `frames @ cos` / `frames @ sin` equals the real/imag parts of
+    rfft(zero-padded frames) exactly — the zero padding contributes nothing
+    to the inner products, so the basis only needs frame_len rows.
+    """
+    n = np.arange(frame_len)[:, None]
+    k = np.arange(nfft // 2 + 1)[None, :]
+    ang = -2.0 * np.pi * n * k / nfft
+    return np.cos(ang), np.sin(ang)
+
+
+def power_spectrum(frames, nfft: int = 512, method: str = "auto"):
+    """1/nfft * |rfft(frames, nfft)|^2 over the last axis.
+
+    method='dft' computes the real DFT as two matmuls against a cos/sin
+    basis — on TPU the FFT runs on the VPU and dominates the whole MFCC
+    stage (~2.1 ms of a 3.1 ms encode at batch 256, RESULTS.md), while the
+    matmul form rides the MXU.  'auto' picks the matmul form for f32 on
+    TPU and the rfft elsewhere (f64 golden paths, CPU).  The matmuls run at
+    HIGHEST precision so f32 numerics match the rfft to ~1e-5 relative.
+    """
     fl = frames.shape[-1]
     if fl > nfft:
         frames = frames[..., :nfft]
+        fl = nfft
+    if method == "auto":
+        method = ("dft" if frames.dtype == jnp.float32
+                  and jax.default_backend() == "tpu" else "rfft")
+    if method == "dft":
+        cos_b, sin_b = _dft_basis(fl, nfft)
+        cos_b = jnp.asarray(cos_b, frames.dtype)
+        sin_b = jnp.asarray(sin_b, frames.dtype)
+        re = jnp.dot(frames, cos_b, precision=jax.lax.Precision.HIGHEST)
+        im = jnp.dot(frames, sin_b, precision=jax.lax.Precision.HIGHEST)
+        return (1.0 / nfft) * (jnp.square(re) + jnp.square(im))
     spec = jnp.fft.rfft(frames, n=nfft, axis=-1)
     return (1.0 / nfft) * jnp.square(jnp.abs(spec))
 
