@@ -40,7 +40,13 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
-    """Adam with amsgrad, matching reference convolutional_trainer.py:41-42."""
+    """Adam with amsgrad, matching reference convolutional_trainer.py:41-42.
+
+    A raveled single-vector variant (one big elementwise update instead of
+    one per leaf) was built and measured in round 2 and REMOVED: XLA already
+    fuses the per-leaf updates inside the scanned step, and the ravel/
+    unravel copies made it a net 14% loss (5.95 vs 5.21 ms/step at
+    flagship batch 128)."""
     return optax.amsgrad(learning_rate)
 
 
