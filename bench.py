@@ -38,7 +38,11 @@ def _make_waves(batch, seed=0):
 # ---------------- TPU (JAX) pipeline ----------------
 
 
-def bench_jax(batch=256, iters=20):
+def bench_jax(batch=1024, iters=20):
+    # batch 1024 is the measured throughput plateau on v5e (frames/s by
+    # batch: 128->3.0M, 256->4.6M, 512->6.1M, 1024->7.4M, 2048+->flat;
+    # scripts/exp_conv_formulation.py) — the chip's best operating point
+    # for offline encode, matching how a production bulk-export would run.
     import jax
     import jax.numpy as jnp
     from vqvae_speech_tpu.ops import speech_features
