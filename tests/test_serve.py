@@ -1,0 +1,115 @@
+"""BucketedEncodeServer: static-shape bucketed serving (serve.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vqvae_speech_tpu.serve import BucketedEncodeServer
+from vqvae_speech_tpu.models import conv_vqvae_init, conv_vqvae_encode
+from vqvae_speech_tpu.ops import speech_features
+
+CFG = dict(
+    input_features_type="mfcc",
+    input_features_filters=13,
+    augment_input_features=True,
+    output_features_filters=13,
+    augment_output_features=True,
+    sampling_rate=16000,
+    num_hiddens=32,
+    num_residual_layers=2,
+    residual_channels=32,
+    embedding_dim=16,
+    num_embeddings=8,
+    commitment_cost=0.25,
+    decay=0.0,
+    use_kaiming_normal=False,
+    use_jitter=False,
+    jitter_probability=0.12,
+    use_speaker_conditioning=False,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return conv_vqvae_init(jax.random.PRNGKey(0), CFG)
+
+
+def _reference_codes(params, state, wave, bucket):
+    """Standalone batch-1 encode of the zero-padded wave (the contract)."""
+    padded = np.zeros(bucket, np.float32)
+    padded[:len(wave)] = wave
+    feats = speech_features(
+        "mfcc", jnp.asarray(padded[None]), 16000, 13, True
+    ).astype(jnp.float32)
+    out = conv_vqvae_encode(params, state, feats, CFG, training=False)
+    return np.asarray(out.indices).reshape(-1).astype(np.int32)
+
+
+def _waves(lengths, seed=0):
+    rng = np.random.default_rng(seed)
+    return [(0.3 * np.sin(2 * np.pi * 220 * np.arange(n) / 16000)
+             + 0.05 * rng.standard_normal(n)).astype(np.float32)
+            for n in lengths]
+
+
+def test_codes_match_standalone_batch1_encode(model):
+    params, state = model
+    server = BucketedEncodeServer(params, state, CFG,
+                                  wave_buckets=(4000, 8000), max_batch=4)
+    lengths = [4000, 3000, 8000, 5000, 4000, 7999]
+    waves = _waves(lengths)
+    results = server.encode(waves)
+    assert len(results) == len(waves)
+    for w, r in zip(waves, results):
+        want = _reference_codes(params, state, w, r.bucket)
+        np.testing.assert_array_equal(r.codes, want)
+        assert r.bucket in (4000, 8000)
+    # 3 waves in each bucket, max_batch 4 -> one launch per bucket
+    assert server.stats["launches"] == 2
+    assert server.stats["compiled_buckets"] == [4000, 8000]
+
+
+def test_codes_independent_of_batch_composition(model):
+    params, state = model
+    server = BucketedEncodeServer(params, state, CFG,
+                                  wave_buckets=(4000,), max_batch=8)
+    target = _waves([4000], seed=1)[0]
+    alone = server.encode([target])[0].codes
+    with_friends = server.encode(
+        _waves([3000, 2000], seed=2) + [target] + _waves([4000], seed=3))
+    np.testing.assert_array_equal(with_friends[2].codes, alone)
+
+
+def test_chunking_over_max_batch(model):
+    params, state = model
+    server = BucketedEncodeServer(params, state, CFG,
+                                  wave_buckets=(4000,), max_batch=2)
+    waves = _waves([4000] * 5)
+    results = server.encode(waves)
+    assert server.stats["launches"] == 3  # ceil(5/2)
+    for w, r in zip(waves, results):
+        np.testing.assert_array_equal(
+            r.codes, _reference_codes(params, state, w, 4000))
+
+
+def test_oversize_request_rejected(model):
+    params, state = model
+    server = BucketedEncodeServer(params, state, CFG, wave_buckets=(4000,))
+    with pytest.raises(ValueError, match="exceeds the largest bucket"):
+        server.encode(_waves([4001]))
+
+
+def test_normalizer_applied(model):
+    params, state = model
+    feats = np.asarray(speech_features(
+        "mfcc", jnp.asarray(_waves([4000])[0][None]), 16000, 13, True))
+    norm = {"train_mean": feats.mean((0, 1)).astype(np.float32),
+            "train_std": (feats.std((0, 1)) + 1e-3).astype(np.float32)}
+    server = BucketedEncodeServer(params, state, CFG, wave_buckets=(4000,),
+                                  normalizer=norm)
+    plain = BucketedEncodeServer(params, state, CFG, wave_buckets=(4000,))
+    w = _waves([4000], seed=5)
+    a = server.encode(w)[0]
+    b = plain.encode(w)[0]
+    assert a.codes.shape == b.codes.shape
+    assert a.n_frames == b.n_frames > 0

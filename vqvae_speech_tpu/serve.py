@@ -1,0 +1,160 @@
+"""Production batch-encode serving: static-shape buckets under one jit each.
+
+The reference has no serving story (its encode path is the per-utterance
+torch pipeline in src/main.py + src/dataset/*); on TPU the constraint that
+shapes be static under ``jax.jit`` is the central serving problem — naive
+per-request shapes would recompile constantly.  This module solves it the
+TPU-native way:
+
+* requests are grouped into a small set of **wave-length buckets**; each
+  bucket compiles exactly one XLA program (lazily, then cached),
+* within a bucket, waves are zero-padded to the bucket length and batches to
+  a fixed ``max_batch`` — every launch has identical shapes,
+* items are encoded under ``jax.vmap`` of a batch-1 encode, NOT one big
+  batch-B encode.  This matters because of the reference's (C, T, B)-order
+  VQ flatten (src/models/vector_quantizer.py:88-93, reproduced in
+  ops/vq.py:reference_flatten): at B > 1 a flattened row interleaves
+  elements from DIFFERENT batch items, so codes would depend on what else
+  shared the launch.  vmap keeps every item on the reference's batch-1
+  semantics (what its own validation/eval stream uses) while still running
+  one fused device program per launch.
+
+Exactness contract (tests/test_serve.py): for every request, the returned
+codes are bit-identical to a standalone batch-1 ``conv_vqvae_encode`` of the
+same wave zero-padded to the bucket length — zero-padding to a fixed length
+is the reference pipeline's own utterance contract
+(src/dataset/vctk_dataset.py pad/crop, reproduced in
+data/audio.py:pad_or_random_crop).  Note the reference flatten makes each
+code row a function of whole latent channels (all timesteps), so codes of a
+padded wave are NOT a prefix of the unpadded wave's codes — callers wanting
+pad-independent codes must send exact bucket-length utterances, as the
+training pipeline's fixed crops already do.
+"""
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from vqvae_speech_tpu.ops.dsp import num_frames
+
+
+@dataclass
+class EncodeResult:
+    """codes: (T_lat,) int32 VQ indices of the zero-padded wave (reference
+    .view(B, -1) stream order); n_frames: feature frames of the TRUE wave;
+    bucket: the padded wave length actually encoded."""
+    codes: np.ndarray
+    n_frames: int
+    bucket: int
+
+
+class BucketedEncodeServer:
+    """Batch wav -> VQ-code serving over a trained ConvolutionalVQVAE.
+
+    Parameters
+    ----------
+    params, state, config : the trained model triple (see
+        train/checkpoint.py:load_checkpoint).
+    wave_buckets : ascending wave lengths (samples); each compiles one
+        program.  Requests longer than the largest bucket are rejected.
+    max_batch : device batch per launch (static).
+    normalizer : optional {"train_mean", "train_std"} feature normalizer
+        (the export pipeline's contract, data/feature_store.py).
+    """
+
+    def __init__(self, params, state, config: dict, *,
+                 wave_buckets: Sequence[int] = (7680, 15360, 30720),
+                 max_batch: int = 64,
+                 normalizer: Optional[dict] = None,
+                 use_pallas: Optional[bool] = None):
+        self._params = params
+        self._state = state
+        self._config = dict(config)
+        self._buckets = tuple(sorted(int(b) for b in wave_buckets))
+        self._max_batch = int(max_batch)
+        self._normalizer = normalizer
+        self._use_pallas = use_pallas
+        self._compiled: Dict[int, object] = {}
+        self._launches = 0
+
+    # -------------------- internals --------------------
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self._buckets:
+            if n <= b:
+                return b
+        raise ValueError(
+            f"wave of {n} samples exceeds the largest bucket "
+            f"{self._buckets[-1]}; add a bucket or chunk the input")
+
+    def _build(self, bucket: int):
+        """One jitted program: (max_batch, bucket) waves -> (max_batch,
+        T_lat) code indices, each row on batch-1 reference semantics."""
+        import jax
+        import jax.numpy as jnp
+
+        from vqvae_speech_tpu.ops import speech_features
+        from vqvae_speech_tpu.models import conv_vqvae_encode
+
+        cfg = self._config
+        mean = std = None
+        if self._normalizer is not None:
+            mean = jnp.asarray(self._normalizer["train_mean"], jnp.float32)
+            std = jnp.asarray(self._normalizer["train_std"], jnp.float32)
+
+        def encode_one(wave):                      # (bucket,) -> (T_lat,)
+            feats = speech_features(
+                cfg.get("input_features_type", "mfcc"), wave[None],
+                cfg.get("sampling_rate", 16000),
+                cfg["input_features_filters"],
+                cfg.get("augment_input_features", True),
+            ).astype(jnp.float32)
+            if mean is not None:
+                feats = (feats - mean) / std
+            out = conv_vqvae_encode(self._params, self._state, feats, cfg,
+                                    training=False,
+                                    use_pallas=self._use_pallas)
+            # reference alignment_stats.py:302 stream order at B=1
+            return out.indices.reshape(-1).astype(jnp.int32)
+
+        return jax.jit(jax.vmap(encode_one))
+
+    def _frames(self, n_samples: int) -> int:
+        cfg = self._config
+        rate = cfg.get("sampling_rate", 16000)
+        return num_frames(n_samples, int(0.025 * rate), int(0.010 * rate))
+
+    # -------------------- API --------------------
+
+    def encode(self, waves: Sequence[np.ndarray]) -> List[EncodeResult]:
+        """Encode a heterogeneous batch of float waves (any lengths that fit
+        the buckets).  Returns one EncodeResult per input, in order."""
+        order: Dict[int, List[int]] = {}
+        for i, w in enumerate(waves):
+            order.setdefault(self._bucket_for(len(w)), []).append(i)
+
+        results: List[Optional[EncodeResult]] = [None] * len(waves)
+        for bucket, idxs in sorted(order.items()):
+            fn = self._compiled.get(bucket)
+            if fn is None:
+                fn = self._compiled[bucket] = self._build(bucket)
+            for at in range(0, len(idxs), self._max_batch):
+                chunk = idxs[at:at + self._max_batch]
+                batch = np.zeros((self._max_batch, bucket), np.float32)
+                for row, i in enumerate(chunk):
+                    w = np.asarray(waves[i], np.float32)
+                    batch[row, :len(w)] = w
+                codes = np.asarray(fn(batch))      # (max_batch, T_lat)
+                self._launches += 1
+                for row, i in enumerate(chunk):
+                    results[i] = EncodeResult(
+                        codes=codes[row],
+                        n_frames=self._frames(len(waves[i])),
+                        bucket=bucket)
+        return results  # type: ignore[return-value]
+
+    @property
+    def stats(self) -> dict:
+        return {"compiled_buckets": sorted(self._compiled),
+                "launches": self._launches,
+                "max_batch": self._max_batch}
