@@ -60,6 +60,10 @@ class BucketedEncodeServer:
     max_batch : device batch per launch (static).
     normalizer : optional {"train_mean", "train_std"} feature normalizer
         (the export pipeline's contract, data/feature_store.py).
+
+    Measured on v5e with the flagship model (max_batch 32): ~80 s one-time
+    compile per bucket, then ~150 ms for 50 mixed-length utterances
+    (dispatch-latency-bound through this image's remote-TPU tunnel).
     """
 
     def __init__(self, params, state, config: dict, *,
