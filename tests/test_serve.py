@@ -113,3 +113,68 @@ def test_normalizer_applied(model):
     b = plain.encode(w)[0]
     assert a.codes.shape == b.codes.shape
     assert a.n_frames == b.n_frames > 0
+
+
+# -------------------- synthesis serving --------------------
+
+
+@pytest.fixture(scope="module")
+def vocoder():
+    from vqvae_speech_tpu.models.wavenet.model import WaveNetConfig, wavenet_init
+    cfg = WaveNetConfig(out_channels=32, layers=2, stacks=1,
+                        residual_channels=8, gate_channels=8,
+                        skip_out_channels=8, kernel_size=2,
+                        cin_channels=4, gin_channels=-1,
+                        upsample_conditional_features=True,
+                        upsample_scales=(2, 2))
+    return wavenet_init(jax.random.PRNGKey(0), cfg), cfg
+
+
+def _conds(lengths, seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.standard_normal((n, 4)).astype(np.float32) for n in lengths]
+
+
+def test_synthesis_matches_standalone_greedy(vocoder):
+    from vqvae_speech_tpu.serve import BucketedSynthesisServer
+    from vqvae_speech_tpu.models.wavenet.incremental import (
+        wavenet_incremental_generate)
+    params, cfg = vocoder
+    server = BucketedSynthesisServer(params, cfg, frame_buckets=(6, 12),
+                                     max_batch=2, sample=False)
+    conds = _conds([6, 4, 12, 9])
+    results = server.synthesize(conds)
+    assert server.stats["upsample_factor"] == 4
+    for c, r in zip(conds, results):
+        assert r.wave.shape == (c.shape[0] * 4,)
+        padded = np.zeros((1, r.bucket, 4), np.float32)
+        padded[0, :c.shape[0]] = c
+        _, want = wavenet_incremental_generate(
+            params, cfg, jax.random.PRNGKey(0), r.bucket * 4,
+            c=padded, sample=False)
+        np.testing.assert_array_equal(r.wave, np.asarray(want)[0, :len(r.wave)])
+
+
+def test_synthesis_exact_bucket_no_padding(vocoder):
+    from vqvae_speech_tpu.serve import BucketedSynthesisServer
+    from vqvae_speech_tpu.models.wavenet.incremental import (
+        wavenet_incremental_generate)
+    params, cfg = vocoder
+    server = BucketedSynthesisServer(params, cfg, frame_buckets=(6,),
+                                     max_batch=4, sample=False)
+    c = _conds([6], seed=7)[0]
+    got = server.synthesize([c])[0].wave
+    _, want = wavenet_incremental_generate(
+        params, cfg, jax.random.PRNGKey(0), 24, c=c[None], sample=False)
+    np.testing.assert_array_equal(got, np.asarray(want)[0])
+
+
+def test_synthesis_batch_composition_independence(vocoder):
+    from vqvae_speech_tpu.serve import BucketedSynthesisServer
+    params, cfg = vocoder
+    server = BucketedSynthesisServer(params, cfg, frame_buckets=(6,),
+                                     max_batch=4, sample=False)
+    target = _conds([6], seed=9)[0]
+    alone = server.synthesize([target])[0].wave
+    crowd = server.synthesize(_conds([5, 6], seed=10) + [target])
+    np.testing.assert_array_equal(crowd[2].wave, alone)

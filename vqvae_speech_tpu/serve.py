@@ -162,3 +162,107 @@ class BucketedEncodeServer:
         return {"compiled_buckets": sorted(self._compiled),
                 "launches": self._launches,
                 "max_batch": self._max_batch}
+
+
+@dataclass
+class SynthesisResult:
+    """wave: (n_samples,) synthesized audio (int mu-law bins or float,
+    per config), trimmed to the request's true conditioning length."""
+    wave: np.ndarray
+    bucket: int
+
+
+class BucketedSynthesisServer:
+    """Batch vocoder synthesis: local-conditioning buckets + padded batches.
+
+    Same static-shape discipline as BucketedEncodeServer, applied to the
+    scan-based AR decode (models/wavenet/incremental.py).  Unlike the VQ
+    flatten, WaveNet rows are batch-independent and generation is causal,
+    so padded batch rows are exact and tail padding only perturbs samples
+    within the conditioning upsampler's receptive field of the true end —
+    tests assert bit-parity of greedy decode between padded-batched and
+    standalone generation.
+
+    Sampling note: ``jax.random.categorical`` draws its Gumbel noise over
+    the full (B, C) batch, so with sample=True the stream for one request
+    legitimately depends on its batch slot (not on other rows' CONTENT —
+    just the noise layout).  Greedy (sample=False) is bit-stable across
+    batch compositions.
+
+    frame_buckets : conditioning lengths (latent frames) to compile for.
+    weight_quant/compute_dtype : forwarded to the decode scan —
+        'int8'/bf16 are the measured single-stream frontiers (RESULTS.md).
+    """
+
+    def __init__(self, params, cfg, *,
+                 frame_buckets: Sequence[int] = (10, 20, 40),
+                 max_batch: int = 8,
+                 sample: bool = False,
+                 compute_dtype=None,
+                 weight_quant: Optional[str] = None):
+        self._params = params
+        self._cfg = cfg
+        self._buckets = tuple(sorted(int(b) for b in frame_buckets))
+        self._max_batch = int(max_batch)
+        self._sample = sample
+        self._compute_dtype = compute_dtype
+        self._weight_quant = weight_quant
+        self._launches = 0
+        factor = 1
+        if cfg.upsample_conditional_features:
+            for s in cfg.upsample_scales:
+                factor *= int(s)
+        self._upsample_factor = factor
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self._buckets:
+            if n <= b:
+                return b
+        raise ValueError(
+            f"conditioning of {n} frames exceeds the largest bucket "
+            f"{self._buckets[-1]}")
+
+    def synthesize(self, conds: Sequence[np.ndarray],
+                   speaker_ids: Optional[Sequence[int]] = None,
+                   seed: int = 0) -> List[SynthesisResult]:
+        """conds: per-request (Tc, cin) local-conditioning arrays (e.g.
+        upstream VQ-VAE latents or mels).  Returns trimmed waves in order."""
+        import jax
+        from vqvae_speech_tpu.models.wavenet.incremental import (
+            wavenet_incremental_generate)
+
+        order: Dict[int, List[int]] = {}
+        for i, c in enumerate(conds):
+            order.setdefault(self._bucket_for(c.shape[0]), []).append(i)
+
+        results: List[Optional[SynthesisResult]] = [None] * len(conds)
+        for bucket, idxs in sorted(order.items()):
+            T = bucket * self._upsample_factor
+            for at in range(0, len(idxs), self._max_batch):
+                chunk = idxs[at:at + self._max_batch]
+                cin = conds[chunk[0]].shape[-1]
+                c = np.zeros((self._max_batch, bucket, cin), np.float32)
+                for row, i in enumerate(chunk):
+                    c[row, :conds[i].shape[0]] = conds[i]
+                g = None
+                if speaker_ids is not None:
+                    g = np.zeros((self._max_batch,), np.int32)
+                    for row, i in enumerate(chunk):
+                        g[row] = speaker_ids[i]
+                _, emitted = wavenet_incremental_generate(
+                    self._params, self._cfg, jax.random.PRNGKey(seed), T,
+                    c=c, g=g, sample=self._sample,
+                    compute_dtype=self._compute_dtype,
+                    weight_quant=self._weight_quant)
+                emitted = np.asarray(emitted)
+                self._launches += 1
+                for row, i in enumerate(chunk):
+                    n = conds[i].shape[0] * self._upsample_factor
+                    results[i] = SynthesisResult(wave=emitted[row, :n],
+                                                 bucket=bucket)
+        return results  # type: ignore[return-value]
+
+    @property
+    def stats(self) -> dict:
+        return {"launches": self._launches, "max_batch": self._max_batch,
+                "upsample_factor": self._upsample_factor}
