@@ -253,6 +253,18 @@ def flowavenet_upsample(params, c, cfg: FlowavenetConfig):
     return upsample_apply(params["upsample_conv"], c, cfg.upsample_scales)
 
 
+def _stack_flows(flows):
+    """Stack a block's per-flow param trees along a leading axis so the flow
+    loop can run as ONE ``lax.scan`` body instead of ``n_flow`` unrolled
+    copies.  All flows in a block share shapes, so this is always legal.
+
+    TPU note: paper scale is 8 blocks x 6 flows = 48 coupling WaveNets; fully
+    unrolled, the serialized HLO is large enough to break remote-compile
+    transports and costs minutes of compile time.  Scanning over flows keeps
+    the program ~n_flow times smaller with bit-identical math."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *flows)
+
+
 def flowavenet_forward(params, cfg: FlowavenetConfig, x, c):
     """x: (B, T, 1); c: (B, Tc, cin).  Returns (log_p, logdet) per-dim
     (reference model.py:245-257)."""
@@ -265,12 +277,18 @@ def flowavenet_forward(params, cfg: FlowavenetConfig, x, c):
         sq, sqc = in_ch * 2, cin_ch * 2
         net_cfg = _flow_net_cfg(cfg, sq, sqc)
         out, c = _squeeze(out), _squeeze(c)
-        for flow in block["flows"]:
+
+        def flow_body(carry, flow, net_cfg=net_cfg):
+            out, c, logdet = carry
             out, det_a = actnorm_forward(flow["actnorm"], out)
             out, det_c = _coupling_forward(flow["coupling"], net_cfg, out, c,
                                            cfg.affine)
             out, c = _change_order(out, c)
-            logdet_sum = logdet_sum + det_a + det_c
+            return (out, c, logdet + det_a + det_c), None
+
+        (out, c, logdet_sum), _ = jax.lax.scan(
+            flow_body, (out, c, jnp.asarray(logdet_sum, out.dtype)),
+            _stack_flows(block["flows"]))
         if cfg.split_at(i):
             out, z = jnp.split(out, 2, axis=-1)
             prior_cfg = CouplingNetConfig(
@@ -319,10 +337,15 @@ def flowavenet_reverse(params, cfg: FlowavenetConfig, z, c, rng=None,
                 axis=-1)
             eps = z_list[(i + 1) // cfg.block_per_split - 1]
             x = jnp.concatenate([x, mean + jnp.exp(log_sd) * eps], -1)
-        for flow in block["flows"][::-1]:
+        def flow_body(carry, flow, net_cfg=net_cfg):
+            x, c = carry
             x, c = _change_order(x, c)
             x = _coupling_reverse(flow["coupling"], net_cfg, x, c, cfg.affine)
             x = actnorm_reverse(flow["actnorm"], x)
+            return (x, c), None
+
+        (x, c), _ = jax.lax.scan(flow_body, (x, c),
+                                 _stack_flows(block["flows"]), reverse=True)
         x, c = _unsqueeze(x), _unsqueeze(c)
     return x
 
