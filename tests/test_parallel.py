@@ -226,3 +226,75 @@ print("MULTIHOST_OK", pid)
             pytest.skip(f"distributed service unavailable in sandbox: {out[-300:]}")
         assert rc == 0, out
         assert "MULTIHOST_OK" in out
+
+
+# -------------------- data-parallel vocoder train steps --------------------
+
+
+def _vocoder_dp_compare(make_step_with_mesh, make_state, batch, steps=2,
+                        loss_of=lambda out: out[0] if isinstance(out, tuple)
+                        else out):
+    """Run `steps` updates on one device and on the 8-device DP mesh; the
+    loss trajectories must agree (mean-of-shards == global mean)."""
+    single_step = make_step_with_mesh(None)
+    dp_step = make_step_with_mesh(make_mesh(num_data=8, num_model=1))
+    s1, s8 = make_state(), make_state()
+    mesh = make_mesh(num_data=8, num_model=1)
+    s8 = replicate(s8, mesh)
+    sharded = shard_batch(batch, mesh)
+    for _ in range(steps):
+        s1, out1 = single_step(s1, batch)
+        s8, out8 = dp_step(s8, sharded)
+        np.testing.assert_allclose(float(loss_of(out1)),
+                                   float(loss_of(out8)),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_data_parallel_clarinet_teacher_step():
+    from vqvae_speech_tpu.models.clarinet import (
+        GaussianWaveNetConfig, gaussian_wavenet_init)
+    from vqvae_speech_tpu.train.vocoder import (
+        make_teacher_train_step, make_vocoder_optimizer,
+        create_vocoder_state)
+
+    cfg = GaussianWaveNetConfig(
+        num_blocks=1, num_layers=2, front_channels=4, residual_channels=8,
+        gate_channels=8, skip_channels=8, kernel_size=2, cin_channels=6,
+        upsample_scales=(4, 4))
+    opt = make_vocoder_optimizer(1e-3, 10.0)
+    params = gaussian_wavenet_init(jax.random.PRNGKey(0), cfg)
+    B, Tc = 8, 4
+    batch = {
+        "x": jax.random.normal(jax.random.PRNGKey(1), (B, Tc * 16, 1)) * 0.1,
+        "c": jax.random.normal(jax.random.PRNGKey(2), (B, Tc, 6)),
+    }
+    _vocoder_dp_compare(
+        lambda mesh: make_teacher_train_step(cfg, opt, mesh=mesh),
+        lambda: create_vocoder_state(
+            jax.random.PRNGKey(3),
+            gaussian_wavenet_init(jax.random.PRNGKey(0), cfg), opt),
+        batch)
+
+
+def test_data_parallel_flowavenet_step():
+    from vqvae_speech_tpu.models.flowavenet import (
+        FlowavenetConfig, flowavenet_init)
+    from vqvae_speech_tpu.train.vocoder import (
+        make_flow_train_step, make_vocoder_optimizer, create_vocoder_state)
+
+    cfg = FlowavenetConfig(in_channel=1, cin_channel=6, n_block=2, n_flow=2,
+                           n_layer=1, filter_size=8, block_per_split=8,
+                           upsample_scales=(4,))
+    opt = make_vocoder_optimizer(1e-3, 1.0)
+    B, Tc = 8, 8
+    batch = {
+        "x": jax.random.normal(jax.random.PRNGKey(1), (B, Tc * 4, 1)) * 0.3,
+        "c": jax.random.normal(jax.random.PRNGKey(2), (B, Tc, 6)),
+    }
+    _vocoder_dp_compare(
+        lambda mesh: make_flow_train_step(cfg, opt, mesh=mesh),
+        lambda: create_vocoder_state(
+            jax.random.PRNGKey(3),
+            flowavenet_init(jax.random.PRNGKey(0), cfg), opt),
+        batch,
+        loss_of=lambda out: out[0])

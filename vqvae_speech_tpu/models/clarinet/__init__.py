@@ -9,6 +9,7 @@ from vqvae_speech_tpu.models.clarinet.wavenet_iaf import (
     StudentConfig,
     wavenet_student_init,
     wavenet_student_apply,
+    wavenet_student_generate,
 )
 from vqvae_speech_tpu.models.clarinet.loss import (
     gaussian_loss,

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from vqvae_speech_tpu.utils.logger import ConsoleLogger
 
@@ -62,13 +63,27 @@ def _ema_update(ema, params, decay):
         lambda s, p: decay * p + (1.0 - decay) * s, ema, params)
 
 
+def _jit_vocoder_step(step, mesh):
+    """Compile a (state, batch) -> (state, loss) step, optionally
+    data-parallel over a mesh: batch sharded on the ``data`` axis, state
+    replicated — same contract as the flagship trainer
+    (train/trainer.py:117-124); XLA inserts the gradient all-reduce."""
+    if mesh is None:
+        return jax.jit(step)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(step, in_shardings=(repl, data),
+                   out_shardings=(repl, repl))
+
+
 def create_vocoder_state(key, params, optimizer):
     return VocoderTrainState(params, optimizer.init(params),
                              jax.tree_util.tree_map(jnp.asarray, params),
                              jnp.zeros((), jnp.int32), key)
 
 
-def make_teacher_train_step(cfg, optimizer, ema_decay: float = 0.9999):
+def make_teacher_train_step(cfg, optimizer, ema_decay: float = 0.9999,
+                            mesh=None):
     from vqvae_speech_tpu.models.clarinet import gaussian_wavenet_apply
     from vqvae_speech_tpu.models.clarinet.loss import gaussian_loss
 
@@ -78,7 +93,6 @@ def make_teacher_train_step(cfg, optimizer, ema_decay: float = 0.9999):
         # y_hat[:, :, :-1] vs y[:, 1:])
         return jnp.mean(gaussian_loss(y_hat[:, :-1], batch["x"][:, 1:]))
 
-    @jax.jit
     def step(state: VocoderTrainState, batch):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
         updates, opt_state = optimizer.update(grads, state.opt_state,
@@ -88,13 +102,13 @@ def make_teacher_train_step(cfg, optimizer, ema_decay: float = 0.9999):
         return VocoderTrainState(params, opt_state, ema, state.step + 1,
                                  state.rng), loss
 
-    return step
+    return _jit_vocoder_step(step, mesh)
 
 
 def make_student_train_step(teacher_cfg, student_cfg, teacher_params,
                             optimizer, ema_decay: float = 0.9999,
                             kl_type: str = "qp", stft_filter: int = 1024,
-                            stft_hop: int = 256):
+                            stft_hop: int = 256, mesh=None):
     from vqvae_speech_tpu.models.clarinet import (
         gaussian_wavenet_apply, gaussian_wavenet_upsample,
         wavenet_student_apply)
@@ -117,7 +131,6 @@ def make_student_train_step(teacher_cfg, student_cfg, teacher_params,
                                 stft_filter, stft_hop)
         return total + frame, {"kl": kl, "reg": reg, "frame": frame}
 
-    @jax.jit
     def step(state: VocoderTrainState, batch):
         rng, sub = jax.random.split(state.rng)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -129,10 +142,10 @@ def make_student_train_step(teacher_cfg, student_cfg, teacher_params,
         return VocoderTrainState(params, opt_state, ema, state.step + 1,
                                  rng), (loss, aux)
 
-    return step
+    return _jit_vocoder_step(step, mesh)
 
 
-def make_flow_train_step(cfg, optimizer):
+def make_flow_train_step(cfg, optimizer, mesh=None):
     from vqvae_speech_tpu.models.flowavenet import flowavenet_forward
 
     def loss_fn(params, batch):
@@ -140,7 +153,6 @@ def make_flow_train_step(cfg, optimizer):
                                            batch["c"])
         return -(log_p + logdet), {"log_p": log_p, "logdet": logdet}
 
-    @jax.jit
     def step(state: VocoderTrainState, batch):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch)
@@ -150,7 +162,7 @@ def make_flow_train_step(cfg, optimizer):
         return VocoderTrainState(params, opt_state, state.ema_params,
                                  state.step + 1, state.rng), (loss, aux)
 
-    return step
+    return _jit_vocoder_step(step, mesh)
 
 
 class VocoderTrainer:
