@@ -54,7 +54,8 @@ def bench_clarinet_student(T, B):
     rng = np.random.default_rng(0)
     z = jnp.asarray(rng.standard_normal((B, T, 1)).astype(np.float32))
     c_up = jnp.asarray(rng.standard_normal((B, T, 80)).astype(np.float32))
-    dt = timeit(lambda zz, cc, pp: wavenet_student_generate(pp, cfg, zz, cc),
+    dt = timeit(lambda zz, cc, pp: wavenet_student_generate(
+                    pp, cfg, zz, cc, compute_dtype=DTYPE),
                 (z, c_up, params))
     return B * T / dt
 
@@ -71,9 +72,13 @@ def bench_flowavenet(T, B):
     z = jnp.asarray(rng.standard_normal((B, T, 1)).astype(np.float32) * 0.8)
     # mel-rate conditioning; flowavenet_reverse upsamples via (16,16) convT
     c = jnp.asarray(rng.standard_normal((B, T // 256, 80)).astype(np.float32))
-    dt = timeit(lambda zz, cc, pp: flowavenet_reverse(pp, cfg, zz, cc),
+    dt = timeit(lambda zz, cc, pp: flowavenet_reverse(
+                    pp, cfg, zz, cc, compute_dtype=DTYPE),
                 (z, c, params))
     return B * T / dt
+
+
+DTYPE = None
 
 
 def main(T=15872, B=1, which="both"):
@@ -93,5 +98,8 @@ def main(T=15872, B=1, which="both"):
 
 if __name__ == "__main__":
     args = sys.argv[1:]
+    if "bf16" in args:
+        args.remove("bf16")
+        DTYPE = jnp.bfloat16
     which = args.pop() if args and not args[-1].isdigit() else "both"
     main(*(int(a) for a in args), which=which)

@@ -176,3 +176,22 @@ def test_distillation_step_runs_and_is_finite():
     assert np.isfinite(float(loss))
     assert all(np.all(np.isfinite(g))
                for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_student_generate_bf16_close_to_f32():
+    from vqvae_speech_tpu.models.clarinet import wavenet_student_generate
+    cfg = StudentConfig(num_blocks_student=(1, 1), num_layers=2,
+                        front_channels=4, residual_channels=8,
+                        gate_channels=8, skip_channels=8,
+                        kernel_size=3, cin_channels=10)
+    params = wavenet_student_init(jax.random.PRNGKey(0), cfg)
+    B, T = 2, 128
+    z = jax.random.normal(jax.random.PRNGKey(1), (B, T, 1))
+    c_up = jax.random.normal(jax.random.PRNGKey(2), (B, T, 10))
+    x32 = wavenet_student_generate(params, cfg, z, c_up)
+    xbf = wavenet_student_generate(params, cfg, z, c_up,
+                                   compute_dtype=jnp.bfloat16)
+    assert xbf.dtype == jnp.float32
+    a, b = np.asarray(x32).ravel(), np.asarray(xbf).ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.99, corr

@@ -119,3 +119,17 @@ def test_multiscale_split_path():
     y = flowavenet_reverse(params, cfg, z, c)
     assert y.shape == (B, T, 1)
     assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_reverse_bf16_close_to_f32():
+    params = flowavenet_init(jax.random.PRNGKey(0), SMALL)
+    B, T = 2, 64
+    z = jax.random.normal(jax.random.PRNGKey(1), (B, T, 1)) * 0.7
+    c = jax.random.normal(jax.random.PRNGKey(2), (B, T // 4, 6))
+    x32 = flowavenet_reverse(params, SMALL, z, c)
+    xbf = flowavenet_reverse(params, SMALL, z, c,
+                             compute_dtype=jnp.bfloat16)
+    assert xbf.dtype == jnp.float32
+    a, b = np.asarray(x32).ravel(), np.asarray(xbf).ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.99, corr

@@ -74,6 +74,15 @@ def wavenet_student_apply(params, cfg: StudentConfig, z, c_up):
     return z, mu_tot, logs_tot
 
 
-def wavenet_student_generate(params, cfg: StudentConfig, z, c_up):
+def wavenet_student_generate(params, cfg: StudentConfig, z, c_up,
+                             compute_dtype=None):
+    """One-pass synthesis.  ``compute_dtype=jnp.bfloat16`` runs the flow
+    convs on the MXU bf16 path (params/activations cast in, waveform cast
+    back to f32) — the synthesis-serving configuration."""
+    if compute_dtype is not None:
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(compute_dtype), params)
+        z = z.astype(compute_dtype)
+        c_up = c_up.astype(compute_dtype)
     x, _, _ = wavenet_student_apply(params, cfg, z, c_up)
-    return x
+    return x.astype(jnp.float32)

@@ -307,9 +307,15 @@ def flowavenet_forward(params, cfg: FlowavenetConfig, x, c):
 
 
 def flowavenet_reverse(params, cfg: FlowavenetConfig, z, c, rng=None,
-                       temp: float = 1.0):
+                       temp: float = 1.0, compute_dtype=None):
     """Invert the flow: z: (B, T, 1) noise -> waveform (B, T, 1)
-    (reference model.py:259-282)."""
+    (reference model.py:259-282).  ``compute_dtype=jnp.bfloat16`` runs the
+    coupling convs on the MXU bf16 path (waveform cast back to f32)."""
+    if compute_dtype is not None:
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(compute_dtype), params)
+        z = z.astype(compute_dtype)
+        c = c.astype(compute_dtype)
     if c.shape[1] != z.shape[1]:
         c = flowavenet_upsample(params, c, cfg)
     x = z
@@ -347,7 +353,7 @@ def flowavenet_reverse(params, cfg: FlowavenetConfig, z, c, rng=None,
         (x, c), _ = jax.lax.scan(flow_body, (x, c),
                                  _stack_flows(block["flows"]), reverse=True)
         x, c = _unsqueeze(x), _unsqueeze(c)
-    return x
+    return x.astype(jnp.float32)
 
 
 def actnorm_initialize(params, cfg: FlowavenetConfig, x, c):
