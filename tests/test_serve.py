@@ -178,3 +178,127 @@ def test_synthesis_batch_composition_independence(vocoder):
     alone = server.synthesize([target])[0].wave
     crowd = server.synthesize(_conds([5, 6], seed=10) + [target])
     np.testing.assert_array_equal(crowd[2].wave, alone)
+
+
+# -------------------- parallel (one-pass) vocoder serving --------------------
+
+
+@pytest.fixture(scope="module")
+def flow_vocoder():
+    from vqvae_speech_tpu.models.flowavenet import (
+        FlowavenetConfig, flowavenet_init)
+    cfg = FlowavenetConfig(in_channel=1, cin_channel=6, n_block=2, n_flow=2,
+                           n_layer=1, filter_size=8, block_per_split=8,
+                           upsample_scales=(4,))
+    params = flowavenet_init(jax.random.PRNGKey(0), cfg)
+    return params, cfg
+
+
+@pytest.fixture(scope="module")
+def iaf_vocoder():
+    from vqvae_speech_tpu.models.clarinet import (
+        GaussianWaveNetConfig, gaussian_wavenet_init,
+        StudentConfig, wavenet_student_init)
+    t_cfg = GaussianWaveNetConfig(
+        num_blocks=1, num_layers=2, front_channels=4, residual_channels=8,
+        gate_channels=8, skip_channels=8, kernel_size=2, cin_channels=6,
+        upsample_scales=(2, 2))
+    s_cfg = StudentConfig(num_blocks_student=(1, 1), num_layers=2,
+                          front_channels=4, residual_channels=8,
+                          gate_channels=8, skip_channels=8,
+                          kernel_size=3, cin_channels=6)
+    t_params = gaussian_wavenet_init(jax.random.PRNGKey(0), t_cfg)
+    s_params = wavenet_student_init(jax.random.PRNGKey(1), s_cfg)
+    return s_params, s_cfg, t_params, t_cfg
+
+
+def _mels(lengths, cin=6, seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.standard_normal((n, cin)).astype(np.float32)
+            for n in lengths]
+
+
+def test_parallel_flow_matches_standalone(flow_vocoder):
+    from vqvae_speech_tpu.serve import BucketedParallelSynthesisServer
+    from vqvae_speech_tpu.models.flowavenet import flowavenet_reverse
+    params, cfg = flow_vocoder
+    srv = BucketedParallelSynthesisServer(
+        "flowavenet", params, cfg, frame_buckets=(8, 16), max_batch=4,
+        temp=0.8)
+    conds = _mels([8, 5, 16])
+    out = srv.synthesize(conds, seed=7)
+    hop = srv.stats["upsample_factor"]
+    for i, c in enumerate(conds):
+        bucket = 8 if c.shape[0] <= 8 else 16
+        c_pad = np.zeros((1, bucket, 6), np.float32)
+        c_pad[0, :c.shape[0]] = c
+        z = np.asarray(jax.random.normal(
+            jax.random.fold_in(jax.random.PRNGKey(7), i),
+            (bucket * hop, 1), jnp.float32))[None] * 0.8
+        ref = np.asarray(flowavenet_reverse(params, cfg, jnp.asarray(z),
+                                            jnp.asarray(c_pad)))
+        np.testing.assert_array_equal(out[i].wave,
+                                      ref[0, :c.shape[0] * hop, 0])
+
+
+def test_parallel_flow_batch_composition_independence(flow_vocoder):
+    from vqvae_speech_tpu.serve import BucketedParallelSynthesisServer
+    params, cfg = flow_vocoder
+    srv = BucketedParallelSynthesisServer(
+        "flowavenet", params, cfg, frame_buckets=(8,), max_batch=4)
+    conds = _mels([8, 8, 8])
+    together = srv.synthesize(conds, seed=3)
+    alone = srv.synthesize(conds[:1], seed=3)
+    np.testing.assert_array_equal(together[0].wave, alone[0].wave)
+
+
+def test_parallel_iaf_matches_standalone(iaf_vocoder):
+    from vqvae_speech_tpu.serve import BucketedParallelSynthesisServer
+    from vqvae_speech_tpu.models.clarinet import (
+        gaussian_wavenet_upsample, wavenet_student_generate)
+    s_params, s_cfg, t_params, t_cfg = iaf_vocoder
+    srv = BucketedParallelSynthesisServer(
+        "iaf_student", s_params, s_cfg, teacher_params=t_params,
+        teacher_cfg=t_cfg, frame_buckets=(12,), max_batch=4, temp=1.0)
+    conds = _mels([12, 9])
+    out = srv.synthesize(conds, seed=11)
+    hop = srv.stats["upsample_factor"]
+    assert hop == 4
+    for i, c in enumerate(conds):
+        c_pad = np.zeros((1, 12, 6), np.float32)
+        c_pad[0, :c.shape[0]] = c
+        z = np.asarray(jax.random.normal(
+            jax.random.fold_in(jax.random.PRNGKey(11), i),
+            (12 * hop, 1), jnp.float32))[None]
+        c_up = gaussian_wavenet_upsample(t_params, jnp.asarray(c_pad), t_cfg)
+        ref = np.asarray(wavenet_student_generate(
+            s_params, s_cfg, jnp.asarray(z), c_up))
+        # eager batch-1 vs the server's jitted batch-4 program: XLA fusion
+        # changes rounding in the last ulp, so near-parity here; bit-parity
+        # across batch compositions is asserted separately below
+        np.testing.assert_allclose(out[i].wave,
+                                   ref[0, :c.shape[0] * hop, 0],
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_parallel_iaf_batch_composition_independence(iaf_vocoder):
+    from vqvae_speech_tpu.serve import BucketedParallelSynthesisServer
+    s_params, s_cfg, t_params, t_cfg = iaf_vocoder
+    srv = BucketedParallelSynthesisServer(
+        "iaf_student", s_params, s_cfg, teacher_params=t_params,
+        teacher_cfg=t_cfg, frame_buckets=(12,), max_batch=4)
+    conds = _mels([12, 9, 12])
+    together = srv.synthesize(conds, seed=5)
+    alone = srv.synthesize(conds[:1], seed=5)
+    np.testing.assert_array_equal(together[0].wave, alone[0].wave)
+
+
+def test_parallel_server_rejects_bad_kind(flow_vocoder):
+    from vqvae_speech_tpu.serve import BucketedParallelSynthesisServer
+    params, cfg = flow_vocoder
+    with pytest.raises(ValueError):
+        BucketedParallelSynthesisServer("melgan", params, cfg)
+    from vqvae_speech_tpu.models.clarinet import StudentConfig
+    with pytest.raises(ValueError):
+        BucketedParallelSynthesisServer("iaf_student", params,
+                                        StudentConfig())

@@ -266,3 +266,138 @@ class BucketedSynthesisServer:
     def stats(self) -> dict:
         return {"launches": self._launches, "max_batch": self._max_batch,
                 "upsample_factor": self._upsample_factor}
+
+
+class BucketedParallelSynthesisServer:
+    """Batch ONE-PASS vocoder synthesis: ClariNet IAF student or FloWaveNet
+    reverse — the high-throughput serving tier (RESULTS.md: 1.0-2.6M
+    samples/s vs the AR scan's 9k).
+
+    Same static-shape discipline as the other servers: conditioning-length
+    (mel-frame) buckets, fixed ``max_batch`` padded launches, one compiled
+    program per bucket.  The param trees enter each launch as jit ARGUMENTS
+    (closing over them would constant-fold the models' stacked flow params
+    for minutes at compile time — RESULTS.md compile-size note).
+
+    Determinism contract: each request's latent noise z is drawn from
+    ``fold_in(PRNGKey(seed), its index in `conds`)`` — a request's wave
+    depends only on (seed, its position, its conditioning), never on batch
+    composition or bucketing (tested).  Both vocoders are per-row
+    feed-forward convs, so padded batch rows are exact; because the
+    coupling nets are NON-causal, samples within the conv receptive field
+    of the padded tail differ from an unpadded run (the same caveat as any
+    fixed-crop pipeline; send exact bucket-length conditioning when that
+    matters).
+
+    kind : 'flowavenet' (params, cfg from models/flowavenet) or
+        'iaf_student' (params, cfg = student triple; requires
+        teacher_params/teacher_cfg, whose conv stack performs the mel
+        upsampling — reference synthesize.py does the same).
+    temp : scale on z (the flow literature's sampling temperature;
+        reference flow_wavenet/synthesize.py:60 uses 0.8).
+    compute_dtype : e.g. jnp.bfloat16 for the MXU path (RESULTS.md).
+    """
+
+    def __init__(self, kind: str, params, cfg, *,
+                 teacher_params=None, teacher_cfg=None,
+                 frame_buckets: Sequence[int] = (20, 40, 80),
+                 max_batch: int = 8,
+                 temp: float = 0.8,
+                 compute_dtype=None):
+        if kind not in ("flowavenet", "iaf_student"):
+            raise ValueError(f"unknown parallel vocoder kind: {kind!r}")
+        if kind == "iaf_student" and (teacher_params is None
+                                      or teacher_cfg is None):
+            raise ValueError("iaf_student needs teacher_params/teacher_cfg "
+                             "for mel upsampling")
+        self._kind = kind
+        self._params = params
+        self._cfg = cfg
+        self._teacher_params = teacher_params
+        self._teacher_cfg = teacher_cfg
+        self._buckets = tuple(sorted(int(b) for b in frame_buckets))
+        self._max_batch = int(max_batch)
+        self._temp = float(temp)
+        self._compute_dtype = compute_dtype
+        self._compiled: Dict[int, object] = {}
+        self._launches = 0
+        scales = (cfg.upsample_scales if kind == "flowavenet"
+                  else teacher_cfg.upsample_scales)
+        factor = 1
+        for s in scales:
+            factor *= int(s)
+        self._upsample_factor = factor
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self._buckets:
+            if n <= b:
+                return b
+        raise ValueError(
+            f"conditioning of {n} frames exceeds the largest bucket "
+            f"{self._buckets[-1]}")
+
+    def _build(self, bucket: int):
+        import jax
+
+        if self._kind == "flowavenet":
+            from vqvae_speech_tpu.models.flowavenet import flowavenet_reverse
+
+            def run(params, _tp, z, c):
+                return flowavenet_reverse(
+                    params, self._cfg, z, c,
+                    compute_dtype=self._compute_dtype)
+        else:
+            from vqvae_speech_tpu.models.clarinet import (
+                gaussian_wavenet_upsample, wavenet_student_generate)
+
+            def run(params, teacher_params, z, c):
+                c_up = gaussian_wavenet_upsample(teacher_params, c,
+                                                 self._teacher_cfg)
+                return wavenet_student_generate(
+                    params, self._cfg, z, c_up,
+                    compute_dtype=self._compute_dtype)
+
+        return jax.jit(run)
+
+    def synthesize(self, conds: Sequence[np.ndarray],
+                   seed: int = 0) -> List[SynthesisResult]:
+        """conds: per-request (Tc, cin) mel arrays.  Returns float waves
+        trimmed to each request's true length, in order."""
+        import jax
+        import jax.numpy as jnp
+
+        order: Dict[int, List[int]] = {}
+        for i, c in enumerate(conds):
+            order.setdefault(self._bucket_for(c.shape[0]), []).append(i)
+
+        results: List[Optional[SynthesisResult]] = [None] * len(conds)
+        base_key = jax.random.PRNGKey(seed)
+        for bucket, idxs in sorted(order.items()):
+            fn = self._compiled.get(bucket)
+            if fn is None:
+                fn = self._compiled[bucket] = self._build(bucket)
+            T = bucket * self._upsample_factor
+            for at in range(0, len(idxs), self._max_batch):
+                chunk = idxs[at:at + self._max_batch]
+                cin = conds[chunk[0]].shape[-1]
+                c = np.zeros((self._max_batch, bucket, cin), np.float32)
+                z = np.zeros((self._max_batch, T, 1), np.float32)
+                for row, i in enumerate(chunk):
+                    c[row, :conds[i].shape[0]] = conds[i]
+                    z[row] = np.asarray(jax.random.normal(
+                        jax.random.fold_in(base_key, i), (T, 1),
+                        jnp.float32)) * self._temp
+                waves = np.asarray(fn(self._params, self._teacher_params,
+                                      z, c))
+                self._launches += 1
+                for row, i in enumerate(chunk):
+                    n = conds[i].shape[0] * self._upsample_factor
+                    results[i] = SynthesisResult(wave=waves[row, :n, 0],
+                                                 bucket=bucket)
+        return results  # type: ignore[return-value]
+
+    @property
+    def stats(self) -> dict:
+        return {"compiled_buckets": sorted(self._compiled),
+                "launches": self._launches, "max_batch": self._max_batch,
+                "upsample_factor": self._upsample_factor}
