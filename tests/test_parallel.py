@@ -2,7 +2,9 @@
 import os
 
 import numpy as np
+import pytest
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
@@ -298,3 +300,79 @@ def test_data_parallel_flowavenet_step():
             flowavenet_init(jax.random.PRNGKey(0), cfg), opt),
         batch,
         loss_of=lambda out: out[0])
+
+
+# -------------------- sequence-parallel vocoder forward --------------------
+
+
+def test_sequence_parallel_teacher_core_matches_global():
+    """Time-sharded ClariNet teacher forward == global forward (halo
+    exchange supplies exactly the causal left context; shard 0's open
+    ppermute end supplies the causal zero pad)."""
+    from vqvae_speech_tpu.models.clarinet import (
+        GaussianWaveNetConfig, gaussian_wavenet_init)
+    from vqvae_speech_tpu.models.clarinet.wavenet import gaussian_wavenet_core
+    from vqvae_speech_tpu.parallel.sp_vocoder import sp_gaussian_wavenet_core
+
+    cfg = GaussianWaveNetConfig(
+        num_blocks=2, num_layers=3, front_channels=8, residual_channels=8,
+        gate_channels=8, skip_channels=8, kernel_size=3, cin_channels=6,
+        upsample_scales=(4, 4))
+    params = gaussian_wavenet_init(jax.random.PRNGKey(0), cfg)
+    B, T = 2, 512  # T_local = 64 >= max halo (k-1)*3^2 + front 8
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, 1))
+    c_up = jax.random.normal(jax.random.PRNGKey(2), (B, T, 6))
+
+    ref = gaussian_wavenet_core(params, cfg, x, c_up)
+    mesh = make_mesh(num_data=8, num_model=1)
+    sp = sp_gaussian_wavenet_core(params, cfg, x, c_up, mesh, axis="data")
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_sequence_parallel_teacher_loss_and_grad_match():
+    from vqvae_speech_tpu.models.clarinet import (
+        GaussianWaveNetConfig, gaussian_wavenet_init)
+    from vqvae_speech_tpu.models.clarinet.wavenet import gaussian_wavenet_core
+    from vqvae_speech_tpu.models.clarinet.loss import gaussian_loss
+    from vqvae_speech_tpu.parallel.sp_vocoder import sp_teacher_loss
+
+    cfg = GaussianWaveNetConfig(
+        num_blocks=1, num_layers=2, front_channels=4, residual_channels=8,
+        gate_channels=8, skip_channels=8, kernel_size=2, cin_channels=6,
+        upsample_scales=(4, 4))
+    params = gaussian_wavenet_init(jax.random.PRNGKey(0), cfg)
+    B, T = 2, 256
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, 1)) * 0.1
+    c_up = jax.random.normal(jax.random.PRNGKey(2), (B, T, 6))
+    mesh = make_mesh(num_data=8, num_model=1)
+
+    def ref_loss(p):
+        y = gaussian_wavenet_core(p, cfg, x, c_up)
+        return jnp.mean(gaussian_loss(y[:, :-1], x[:, 1:]))
+
+    l_ref, g_ref = jax.value_and_grad(ref_loss)(params)
+    l_sp, g_sp = jax.value_and_grad(
+        lambda p: sp_teacher_loss(p, cfg, x, c_up, mesh))(params)
+    np.testing.assert_allclose(float(l_sp), float(l_ref), rtol=1e-5)
+    flat_r, _ = jax.flatten_util.ravel_pytree(g_ref)
+    flat_s, _ = jax.flatten_util.ravel_pytree(g_sp)
+    np.testing.assert_allclose(np.asarray(flat_s), np.asarray(flat_r),
+                               rtol=5e-4, atol=1e-6)
+
+
+def test_sequence_parallel_halo_too_large_raises():
+    from vqvae_speech_tpu.models.clarinet import (
+        GaussianWaveNetConfig, gaussian_wavenet_init)
+    from vqvae_speech_tpu.parallel.sp_vocoder import sp_gaussian_wavenet_core
+
+    cfg = GaussianWaveNetConfig(
+        num_blocks=1, num_layers=6, front_channels=4, residual_channels=8,
+        gate_channels=8, skip_channels=8, kernel_size=3, cin_channels=6,
+        upsample_scales=(4, 4))
+    params = gaussian_wavenet_init(jax.random.PRNGKey(0), cfg)
+    x = jnp.zeros((1, 128, 1))   # T_local 16 << dilation 3^5 halo
+    c_up = jnp.zeros((1, 128, 6))
+    mesh = make_mesh(num_data=8, num_model=1)
+    with pytest.raises(ValueError):
+        sp_gaussian_wavenet_core(params, cfg, x, c_up, mesh)
