@@ -50,7 +50,7 @@ def make_batch(B, T, cin, hop=256, seed=0):
     }
 
 
-def bench_teacher(B=8, T=6400):
+def bench_teacher(B=8, T=6400, dtype=None):
     from vqvae_speech_tpu.models.clarinet import (
         GaussianWaveNetConfig, gaussian_wavenet_init)
     from vqvae_speech_tpu.train.vocoder import (
@@ -60,8 +60,8 @@ def bench_teacher(B=8, T=6400):
     state = create_vocoder_state(
         jax.random.PRNGKey(1),
         gaussian_wavenet_init(jax.random.PRNGKey(0), cfg), opt)
-    dt = time_steps(make_teacher_train_step(cfg, opt), state,
-                    make_batch(B, T, cfg.cin_channels))
+    dt = time_steps(make_teacher_train_step(cfg, opt, compute_dtype=dtype),
+                    state, make_batch(B, T, cfg.cin_channels))
     return {"ms_per_step": round(dt * 1e3, 2),
             "samples_per_s": round(B * T / dt, 0), "batch": B, "T": T}
 
@@ -102,7 +102,14 @@ def bench_flow(B=2, T=15872):
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    extra = [int(a) for a in sys.argv[2:]]
+    rest = sys.argv[2:]
+    dtype = None
+    if "bf16" in rest:
+        rest.remove("bf16")
+        dtype = jnp.bfloat16
+    extra = [int(a) for a in rest]
+    if dtype is not None:
+        extra = extra + [dtype] if extra else [8, 6400, dtype]
     for name, fn in [("teacher", bench_teacher), ("student", bench_student),
                      ("flow", bench_flow)]:
         if which not in ("all", name):

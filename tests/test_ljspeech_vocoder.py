@@ -188,3 +188,40 @@ def test_mulaw_quantize_preprocess_mode(tmp_path):
     assert len(audio) % HOP_LENGTH == 0
     mel = np.load(os.path.join(out, meta[0][1]))
     assert len(audio) // HOP_LENGTH == mel.shape[0]
+
+
+def test_teacher_bf16_mixed_precision_step():
+    """compute_dtype=bf16: masters stay f32, loss tracks the f32 step."""
+    import jax
+    import numpy as np
+    from vqvae_speech_tpu.models.clarinet import (
+        GaussianWaveNetConfig, gaussian_wavenet_init)
+    from vqvae_speech_tpu.train.vocoder import (
+        make_teacher_train_step, make_vocoder_optimizer,
+        create_vocoder_state)
+
+    cfg = GaussianWaveNetConfig(
+        num_blocks=1, num_layers=2, front_channels=4, residual_channels=8,
+        gate_channels=8, skip_channels=8, kernel_size=2, cin_channels=4,
+        upsample_scales=(4, 4))
+    opt = make_vocoder_optimizer(1e-3, 10.0)
+
+    def fresh():
+        return create_vocoder_state(
+            jax.random.PRNGKey(1),
+            gaussian_wavenet_init(jax.random.PRNGKey(0), cfg), opt)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(
+            rng.standard_normal((2, 64, 1)).astype(np.float32) * 0.1),
+        "c": jnp.asarray(rng.standard_normal((2, 4, 4)).astype(np.float32)),
+    }
+    s32, sbf = fresh(), fresh()
+    step32 = make_teacher_train_step(cfg, opt)
+    stepbf = make_teacher_train_step(cfg, opt, compute_dtype=jnp.bfloat16)
+    for _ in range(3):
+        s32, l32 = step32(s32, batch)
+        sbf, lbf = stepbf(sbf, batch)
+        assert abs(float(l32) - float(lbf)) < 0.05
+    assert jax.tree_util.tree_leaves(sbf.params)[0].dtype == jnp.float32

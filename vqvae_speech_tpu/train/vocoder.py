@@ -83,15 +83,27 @@ def create_vocoder_state(key, params, optimizer):
 
 
 def make_teacher_train_step(cfg, optimizer, ema_decay: float = 0.9999,
-                            mesh=None):
+                            mesh=None, compute_dtype=None):
+    """``compute_dtype=jnp.bfloat16`` = mixed precision: master params,
+    optimizer state, NLL reduction and the update stay f32; the WaveNet
+    forward/backward runs on the MXU bf16 path (params/inputs cast inside
+    the loss, so grads flow to the f32 masters)."""
     from vqvae_speech_tpu.models.clarinet import gaussian_wavenet_apply
     from vqvae_speech_tpu.models.clarinet.loss import gaussian_loss
 
     def loss_fn(params, batch):
-        y_hat = gaussian_wavenet_apply(params, cfg, batch["x"], batch["c"])
+        x, c = batch["x"], batch["c"]
+        if compute_dtype is not None:
+            fwd_params = jax.tree_util.tree_map(
+                lambda p: p.astype(compute_dtype), params)
+            y_hat = gaussian_wavenet_apply(
+                fwd_params, cfg, x.astype(compute_dtype),
+                c.astype(compute_dtype)).astype(jnp.float32)
+        else:
+            y_hat = gaussian_wavenet_apply(params, cfg, x, c)
         # predict the NEXT sample (reference train.py teacher forcing:
         # y_hat[:, :, :-1] vs y[:, 1:])
-        return jnp.mean(gaussian_loss(y_hat[:, :-1], batch["x"][:, 1:]))
+        return jnp.mean(gaussian_loss(y_hat[:, :-1], x[:, 1:]))
 
     def step(state: VocoderTrainState, batch):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
