@@ -66,7 +66,7 @@ def bench_teacher(B=8, T=6400, dtype=None):
             "samples_per_s": round(B * T / dt, 0), "batch": B, "T": T}
 
 
-def bench_student(B=8, T=6400):
+def bench_student(B=8, T=6400, dtype=None):
     from vqvae_speech_tpu.models.clarinet import (
         GaussianWaveNetConfig, gaussian_wavenet_init,
         StudentConfig, wavenet_student_init)
@@ -78,8 +78,10 @@ def bench_student(B=8, T=6400):
     state = create_vocoder_state(
         jax.random.PRNGKey(2),
         wavenet_student_init(jax.random.PRNGKey(1), s_cfg), opt)
-    dt = time_steps(make_student_train_step(t_cfg, s_cfg, t_params, opt),
-                    state, make_batch(B, T, t_cfg.cin_channels))
+    dt = time_steps(
+        make_student_train_step(t_cfg, s_cfg, t_params, opt,
+                                compute_dtype=dtype),
+        state, make_batch(B, T, t_cfg.cin_channels))
     return {"ms_per_step": round(dt * 1e3, 2),
             "samples_per_s": round(B * T / dt, 0), "batch": B, "T": T}
 

@@ -82,22 +82,67 @@ def upsample_init(key, upsample_scales, dtype=jnp.float32):
     return params
 
 
+def _subpixel_upsample_kernel(w2, s):
+    """Re-express ConvTranspose2d(kernel (3, 2s), stride (1, s),
+    padding (1, s//2)) as ONE stride-1 correlation with kernel (3, 3)
+    producing s outputs per frame (then interleave-reshape).
+
+    Derivation: the transposed conv's output at n = u*s + j draws
+    x[u - t'] with coefficient w[dh, t'*s + j + s//2] for t' in {-1,0,1}
+    (at most two of which are in-range per j), so a 3-tap frame-axis
+    correlation kernel K[dh, m, j] = w_flipH[dh, (1-m)*s + j + s//2]
+    reproduces it exactly (verified to float ulp in tests).
+
+    WHY: on this image's TPU backend the BACKWARD of the lhs_dilation
+    (zero-stuffed) conv compiles pathologically slowly — superlinear in
+    the output length (>10 min for the upsampler alone at T=15872, which
+    dominated every vocoder training compile).  The subpixel form is a
+    plain conv: seconds to compile, and MXU-friendlier.
+    """
+    import numpy as np
+
+    idx = np.zeros((3, s), dtype=np.int32)
+    mask = np.zeros((3, s), dtype=bool)
+    for m in range(3):
+        for j in range(s):
+            k = (1 - m) * s + j + s // 2
+            if 0 <= k < 2 * s:
+                idx[m, j] = k
+                mask[m, j] = True
+    ker = w2[::-1][:, jnp.asarray(idx.reshape(-1))].reshape(3, 3, s)
+    ker = ker * jnp.asarray(mask, ker.dtype)[None]
+    return ker[:, :, None, :]                        # (H=3, W=3, I=1, O=s)
+
+
 def upsample_apply(params, c, upsample_scales, negative_slope=0.4):
-    """c: (B, T, C) -> (B, T*prod(scales), C) via single-channel 2D
-    transposed convs + LeakyReLU(0.4)."""
+    """c: (B, T, C) -> (B, T*prod(scales), C); parity with the reference's
+    per-scale ConvTranspose2d + LeakyReLU(0.4) stack
+    (src/clarinet/wavenet.py:69-76).  Even scales run the subpixel
+    formulation (see _subpixel_upsample_kernel); odd scales keep the
+    transposed conv (their output length differs by one)."""
     x = jnp.transpose(c, (0, 2, 1))[..., None]  # (B, F=C, W=T, 1)
     for p, s in zip(params, upsample_scales):
         v = p["v"]
         w = p["g"][0] * v / jnp.sqrt(jnp.sum(jnp.square(v)))
-        kh, kw = w.shape[0], w.shape[1]
-        pad_h, pad_w, stride_w = 1, s // 2, s
-        w_flipped = jnp.flip(w, axis=(0, 1))
-        x = lax.conv_general_dilated(
-            x, w_flipped.astype(x.dtype), window_strides=(1, 1),
-            padding=[(kh - 1 - pad_h, kh - 1 - pad_h),
-                     (kw - 1 - pad_w, kw - 1 - pad_w)],
-            lhs_dilation=(1, stride_w),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=x.dtype)
+        if s % 2 == 0:
+            ker = _subpixel_upsample_kernel(w[:, :, 0, 0], s)
+            y = lax.conv_general_dilated(
+                x, ker.astype(x.dtype), window_strides=(1, 1),
+                padding=[(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=x.dtype)
+            B, F, T = y.shape[0], y.shape[1], y.shape[2]
+            x = y.reshape(B, F, T * s, 1)
+        else:
+            kh, kw = w.shape[0], w.shape[1]
+            pad_h, pad_w, stride_w = 1, s // 2, s
+            w_flipped = jnp.flip(w, axis=(0, 1))
+            x = lax.conv_general_dilated(
+                x, w_flipped.astype(x.dtype), window_strides=(1, 1),
+                padding=[(kh - 1 - pad_h, kh - 1 - pad_h),
+                         (kw - 1 - pad_w, kw - 1 - pad_w)],
+                lhs_dilation=(1, stride_w),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=x.dtype)
         x = jax.nn.leaky_relu(x + p["b"].astype(x.dtype), negative_slope)
     return jnp.transpose(x[..., 0], (0, 2, 1))

@@ -186,17 +186,22 @@ def _upsample_lc(params, c, cfg: WaveNetConfig):
         v = p["v"]
         norm = jnp.sqrt(jnp.sum(jnp.square(v)))
         w = (p["g"][0] * v / norm)
-        kh, kw = w.shape[0], w.shape[1]
+        kh = w.shape[0]
         freq_pad = (cfg.freq_axis_kernel_size - 1) // 2
-        w_flipped = jnp.flip(w, axis=(0, 1))
-        x = lax.conv_general_dilated(
-            x, w_flipped.astype(x.dtype),
-            window_strides=(1, 1),
-            padding=[(kh - 1 - freq_pad, kh - 1 - freq_pad),
-                     (kw - 1, kw - 1)],
-            lhs_dilation=(1, s),
+        # Subpixel form: kernel width == stride == s means each output
+        # sample draws exactly ONE input frame — the transposed conv is a
+        # stride-1 correlation with a (kh, 1) kernel producing s outputs
+        # per frame, then an interleave reshape.  Same math to float ulp;
+        # avoids the lhs_dilation backward, whose TPU compile time is
+        # superlinear in the output length (see clarinet/modules.py).
+        ker = w[::-1, :, 0, 0][:, None, None, :]       # (kh, 1, 1, s)
+        y = lax.conv_general_dilated(
+            x, ker.astype(x.dtype), window_strides=(1, 1),
+            padding=[(freq_pad, freq_pad), (0, 0)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=x.dtype)
+        B, F, T = y.shape[0], y.shape[1], y.shape[2]
+        x = y.reshape(B, F, T * s, 1)
         x = jax.nn.relu(x + p["b"].astype(x.dtype))
     return jnp.transpose(x[..., 0], (0, 2, 1))
 

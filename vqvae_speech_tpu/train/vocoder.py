@@ -120,33 +120,49 @@ def make_teacher_train_step(cfg, optimizer, ema_decay: float = 0.9999,
 def make_student_train_step(teacher_cfg, student_cfg, teacher_params,
                             optimizer, ema_decay: float = 0.9999,
                             kl_type: str = "qp", stft_filter: int = 1024,
-                            stft_hop: int = 256, mesh=None):
+                            stft_hop: int = 256, mesh=None,
+                            compute_dtype=None):
+    """Probability-density distillation step.  The (frozen) teacher's
+    params enter the compiled program as a jit ARGUMENT, not a captured
+    constant — a reference-scale teacher is tens of MB, and baking it into
+    the executable bloats compile and transport (DESIGN.md compile-size
+    discipline).  ``compute_dtype=jnp.bfloat16`` runs both WaveNet stacks
+    in bf16 (masters, KL and STFT losses stay f32)."""
     from vqvae_speech_tpu.models.clarinet import (
         gaussian_wavenet_apply, gaussian_wavenet_upsample,
         wavenet_student_apply)
     from vqvae_speech_tpu.models.clarinet.loss import kl_loss, stft_frame_loss
 
-    def loss_fn(params, batch, key):
-        z = jax.random.normal(key, batch["x"].shape)
-        c_up = gaussian_wavenet_upsample(teacher_params, batch["c"],
-                                         teacher_cfg)
+    def loss_fn(params, batch, key, t_params):
+        x, c = batch["x"], batch["c"]
+        if compute_dtype is not None:
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(compute_dtype), params)
+            t_params = jax.tree_util.tree_map(
+                lambda p: p.astype(compute_dtype), t_params)
+            c = c.astype(compute_dtype)
+        z = jax.random.normal(key, x.shape, c.dtype)
+        c_up = gaussian_wavenet_upsample(t_params, c, teacher_cfg)
         x_s, mu_s, logs_s = wavenet_student_apply(params, student_cfg, z,
                                                   c_up)
-        mu_logs_t = gaussian_wavenet_apply(teacher_params, teacher_cfg,
-                                           x_s, batch["c"])
+        mu_logs_t = gaussian_wavenet_apply(t_params, teacher_cfg, x_s, c)
+        x_s = x_s.astype(jnp.float32)
+        mu_s = mu_s.astype(jnp.float32)
+        logs_s = logs_s.astype(jnp.float32)
+        mu_logs_t = mu_logs_t.astype(jnp.float32)
         mu_t, logs_t = mu_logs_t[:, :-1, 0:1], mu_logs_t[:, :-1, 1:2]
         if kl_type == "pq":
             total, kl, reg = kl_loss(mu_t, logs_t, mu_s, logs_s)
         else:
             total, kl, reg = kl_loss(mu_s, logs_s, mu_t, logs_t)
-        frame = stft_frame_loss(x_s[:, 1:, 0], batch["x"][:, 1:, 0],
+        frame = stft_frame_loss(x_s[:, 1:, 0], x[:, 1:, 0],
                                 stft_filter, stft_hop)
         return total + frame, {"kl": kl, "reg": reg, "frame": frame}
 
-    def step(state: VocoderTrainState, batch):
+    def step(state: VocoderTrainState, batch, t_params):
         rng, sub = jax.random.split(state.rng)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, sub)
+            state.params, batch, sub, t_params)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
@@ -154,7 +170,19 @@ def make_student_train_step(teacher_cfg, student_cfg, teacher_params,
         return VocoderTrainState(params, opt_state, ema, state.step + 1,
                                  rng), (loss, aux)
 
-    return _jit_vocoder_step(step, mesh)
+    if mesh is None:
+        jitted = jax.jit(step)
+    else:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        jitted = jax.jit(step, in_shardings=(repl, data, repl),
+                         out_shardings=(repl, repl))
+    t_params_dev = jax.tree_util.tree_map(jnp.asarray, teacher_params)
+
+    def wrapped(state, batch):
+        return jitted(state, batch, t_params_dev)
+
+    return wrapped
 
 
 def make_flow_train_step(cfg, optimizer, mesh=None):
