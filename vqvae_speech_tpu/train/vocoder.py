@@ -141,7 +141,8 @@ def make_student_train_step(teacher_cfg, student_cfg, teacher_params,
             t_params = jax.tree_util.tree_map(
                 lambda p: p.astype(compute_dtype), t_params)
             c = c.astype(compute_dtype)
-        z = jax.random.normal(key, x.shape, c.dtype)
+        # draw in f32 (the reference's distribution), cast to compute dtype
+        z = jax.random.normal(key, x.shape).astype(c.dtype)
         c_up = gaussian_wavenet_upsample(t_params, c, teacher_cfg)
         x_s, mu_s, logs_s = wavenet_student_apply(params, student_cfg, z,
                                                   c_up)
