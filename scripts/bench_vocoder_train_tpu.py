@@ -86,7 +86,7 @@ def bench_student(B=8, T=6400, dtype=None):
             "samples_per_s": round(B * T / dt, 0), "batch": B, "T": T}
 
 
-def bench_flow(B=2, T=15872):
+def bench_flow(B=2, T=15872, dtype=None):
     from vqvae_speech_tpu.models.flowavenet import (
         FlowavenetConfig, flowavenet_init)
     from vqvae_speech_tpu.train.vocoder import (
@@ -96,8 +96,8 @@ def bench_flow(B=2, T=15872):
     state = create_vocoder_state(
         jax.random.PRNGKey(1),
         flowavenet_init(jax.random.PRNGKey(0), cfg), opt)
-    dt = time_steps(make_flow_train_step(cfg, opt), state,
-                    make_batch(B, T, cfg.cin_channel))
+    dt = time_steps(make_flow_train_step(cfg, opt, compute_dtype=dtype),
+                    state, make_batch(B, T, cfg.cin_channel))
     return {"ms_per_step": round(dt * 1e3, 2),
             "samples_per_s": round(B * T / dt, 0), "batch": B, "T": T}
 
@@ -111,7 +111,9 @@ if __name__ == "__main__":
         dtype = jnp.bfloat16
     extra = [int(a) for a in rest]
     if dtype is not None:
-        extra = extra + [dtype] if extra else [8, 6400, dtype]
+        defaults = {"teacher": [8, 6400], "student": [8, 6400],
+                    "flow": [2, 15872]}
+        extra = (extra if extra else defaults.get(which, [])) + [dtype]
     for name, fn in [("teacher", bench_teacher), ("student", bench_student),
                      ("flow", bench_flow)]:
         if which not in ("all", name):

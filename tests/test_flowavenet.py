@@ -133,3 +133,15 @@ def test_reverse_bf16_close_to_f32():
     a, b = np.asarray(x32).ravel(), np.asarray(xbf).ravel()
     corr = np.corrcoef(a, b)[0, 1]
     assert corr > 0.99, corr
+
+
+def test_forward_bf16_mixed_precision_tracks_f32():
+    params = flowavenet_init(jax.random.PRNGKey(0), SMALL)
+    B, T = 2, 64
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, 1)) * 0.3
+    c = jax.random.normal(jax.random.PRNGKey(2), (B, T // 4, 6))
+    lp32, ld32 = flowavenet_forward(params, SMALL, x, c)
+    lpbf, ldbf = flowavenet_forward(params, SMALL, x, c,
+                                    compute_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(float(lpbf), float(lp32), rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(float(ldbf), float(ld32), rtol=0.05, atol=0.05)

@@ -230,10 +230,11 @@ def _coupling_forward(p, net_cfg, x, c, affine):
     if affine:
         log_s, t = jnp.split(net_out, 2, axis=-1)
         out_b = (in_b - t) * jnp.exp(-log_s)
-        logdet = jnp.sum(-log_s)
+        # accumulate the logdet in f32 regardless of the compute dtype
+        logdet = jnp.sum(-log_s.astype(jnp.float32))
     else:
         out_b = in_b + net_out
-        logdet = 0.0
+        logdet = jnp.float32(0.0)
     return jnp.concatenate([in_a, out_b], -1), logdet
 
 
@@ -265,30 +266,48 @@ def _stack_flows(flows):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *flows)
 
 
-def flowavenet_forward(params, cfg: FlowavenetConfig, x, c):
+def flowavenet_forward(params, cfg: FlowavenetConfig, x, c,
+                       compute_dtype=None):
     """x: (B, T, 1); c: (B, Tc, cin).  Returns (log_p, logdet) per-dim
-    (reference model.py:245-257)."""
+    (reference model.py:245-257).
+
+    ``compute_dtype=jnp.bfloat16`` = mixed precision for MLE training: the
+    coupling/prior WaveNets and affines run in bf16 on the MXU, while ALL
+    log-density math stays f32 — the ActNorm logdet is data-independent and
+    computed from the uncast f32 scales, the coupling logdet sums f32-cast
+    log_s, and the Gaussian log-probs cast their inputs up before squaring.
+    """
     B, T = x.shape[0], x.shape[1]
-    c = flowavenet_upsample(params, c, cfg)
+    fparams = params
+    if compute_dtype is not None:
+        fparams = jax.tree_util.tree_map(
+            lambda v: v.astype(compute_dtype), params)
+        x = x.astype(compute_dtype)
+        c = c.astype(compute_dtype)
+    c = flowavenet_upsample(fparams, c, cfg)
     out = x
-    logdet_sum, log_p_sum = 0.0, 0.0
-    for i, block in enumerate(params["blocks"]):
+    logdet_sum, log_p_sum = jnp.float32(0.0), jnp.float32(0.0)
+    for i, block in enumerate(fparams["blocks"]):
         in_ch, cin_ch = _block_channels(cfg)[i]
         sq, sqc = in_ch * 2, cin_ch * 2
         net_cfg = _flow_net_cfg(cfg, sq, sqc)
         out, c = _squeeze(out), _squeeze(c)
+        # ActNorm logdet is a pure function of the (f32 master) scales
+        for flow32 in params["blocks"][i]["flows"]:
+            logdet_sum = logdet_sum + B * T * jnp.sum(
+                jnp.log(jnp.abs(flow32["actnorm"]["scale"]))
+            ).astype(jnp.float32)
 
         def flow_body(carry, flow, net_cfg=net_cfg):
             out, c, logdet = carry
-            out, det_a = actnorm_forward(flow["actnorm"], out)
+            out = flow["actnorm"]["scale"] * (out + flow["actnorm"]["loc"])
             out, det_c = _coupling_forward(flow["coupling"], net_cfg, out, c,
                                            cfg.affine)
             out, c = _change_order(out, c)
-            return (out, c, logdet + det_a + det_c), None
+            return (out, c, logdet + det_c), None
 
         (out, c, logdet_sum), _ = jax.lax.scan(
-            flow_body, (out, c, jnp.asarray(logdet_sum, out.dtype)),
-            _stack_flows(block["flows"]))
+            flow_body, (out, c, logdet_sum), _stack_flows(block["flows"]))
         if cfg.split_at(i):
             out, z = jnp.split(out, 2, axis=-1)
             prior_cfg = CouplingNetConfig(
@@ -298,11 +317,15 @@ def flowavenet_forward(params, cfg: FlowavenetConfig, x, c):
             mean, log_sd = jnp.split(
                 coupling_net_apply(block["prior"], prior_cfg, out, c), 2,
                 axis=-1)
+            z32 = z.astype(jnp.float32)
+            mean32 = mean.astype(jnp.float32)
+            log_sd32 = log_sd.astype(jnp.float32)
             log_p_sum = log_p_sum + jnp.sum(
-                -0.5 * np.log(2 * np.pi) - log_sd
-                - 0.5 * jnp.square(z - mean) / jnp.exp(2 * log_sd))
+                -0.5 * np.log(2 * np.pi) - log_sd32
+                - 0.5 * jnp.square(z32 - mean32) / jnp.exp(2 * log_sd32))
+    out32 = out.astype(jnp.float32)
     log_p_sum = log_p_sum + 0.5 * jnp.sum(
-        -np.log(2.0 * np.pi) - jnp.square(out))
+        -np.log(2.0 * np.pi) - jnp.square(out32))
     return log_p_sum / (B * T), logdet_sum / (B * T)
 
 

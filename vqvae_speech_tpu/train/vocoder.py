@@ -186,12 +186,16 @@ def make_student_train_step(teacher_cfg, student_cfg, teacher_params,
     return wrapped
 
 
-def make_flow_train_step(cfg, optimizer, mesh=None):
+def make_flow_train_step(cfg, optimizer, mesh=None, compute_dtype=None):
+    """``compute_dtype=jnp.bfloat16`` = mixed precision MLE: bf16 coupling
+    WaveNets, f32 masters and f32 log-density accumulation (see
+    flowavenet_forward)."""
     from vqvae_speech_tpu.models.flowavenet import flowavenet_forward
 
     def loss_fn(params, batch):
         log_p, logdet = flowavenet_forward(params, cfg, batch["x"],
-                                           batch["c"])
+                                           batch["c"],
+                                           compute_dtype=compute_dtype)
         return -(log_p + logdet), {"log_p": log_p, "logdet": logdet}
 
     def step(state: VocoderTrainState, batch):
