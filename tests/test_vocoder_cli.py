@@ -64,3 +64,17 @@ def test_cli_preprocess_train_synthesize(tmp_path):
                  "--tiny"]) == 0
     sr3, audio3 = wavfile.read(out_wav3)
     assert sr3 == 22050 and len(audio3) == 4 * 256
+
+
+@pytest.mark.slow
+def test_cli_train_teacher_bf16_data_parallel(tmp_path):
+    """--bf16 --data_parallel: mixed precision over the full device mesh."""
+    root = _mini_ljspeech(str(tmp_path))
+    data = os.path.join(root, "lj")
+    assert main(["preprocess", "--in_dir", root, "--out_dir", data]) == 0
+    ckpt_dir = os.path.join(root, "ckpt")
+    assert main(["train-teacher", "--data_root", data,
+                 "--checkpoint_dir", ckpt_dir, "--epochs", "1",
+                 "--batch_size", "8", "--tiny", "--bf16",
+                 "--data_parallel"]) == 0
+    assert os.path.isfile(os.path.join(ckpt_dir, "teacher_best.pkl"))

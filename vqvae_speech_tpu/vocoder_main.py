@@ -34,6 +34,12 @@ def build_parser():
         tp.add_argument("--epochs", type=int, default=1000)
         tp.add_argument("--learning_rate", type=float, default=1e-3)
         tp.add_argument("--seed", type=int, default=0)
+        tp.add_argument("--bf16", action="store_true",
+                        help="mixed precision: bf16 forward/backward, "
+                             "f32 masters and losses")
+        tp.add_argument("--data_parallel", action="store_true",
+                        help="shard the batch over all devices "
+                             "(jax.sharding data axis)")
         tp.add_argument("--tiny", action="store_true",
                         help="tiny model preset (tests/smoke)")
         if name == "train-student":
@@ -113,14 +119,21 @@ def main(argv=None):
     if args.command.startswith("train-"):
         ds = LJSpeechDataset(args.data_root, train=True)
         loader = LJSpeechLoader(ds, args.batch_size, seed=args.seed)
+        compute_dtype = jnp.bfloat16 if args.bf16 else None
+        mesh = None
+        if args.data_parallel:
+            from vqvae_speech_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh()
 
     if args.command == "train-teacher":
         cfg = teacher_cfg_for(args)
         params = gaussian_wavenet_init(key, cfg)
         opt = make_vocoder_optimizer(args.learning_rate, clip_norm=10.0)
         state = create_vocoder_state(key, params, opt)
-        trainer = VocoderTrainer(make_teacher_train_step(cfg, opt), state,
-                                 loader, args.checkpoint_dir, args.model_name)
+        step = make_teacher_train_step(cfg, opt, mesh=mesh,
+                                       compute_dtype=compute_dtype)
+        trainer = VocoderTrainer(step, state, loader, args.checkpoint_dir,
+                                 args.model_name)
         for epoch in range(args.epochs):
             trainer.train_epoch(epoch)
         return 0
@@ -136,7 +149,8 @@ def main(argv=None):
         state = create_vocoder_state(key, params, opt)
         trainer = VocoderTrainer(
             make_student_train_step(teacher_cfg, student_cfg, t_params, opt,
-                                    kl_type=args.KL_type),
+                                    kl_type=args.KL_type, mesh=mesh,
+                                    compute_dtype=compute_dtype),
             state, loader, args.checkpoint_dir, args.model_name)
         for epoch in range(args.epochs):
             trainer.train_epoch(epoch)
@@ -153,8 +167,10 @@ def main(argv=None):
                                     jnp.asarray(first["c"]))
         opt = make_vocoder_optimizer(args.learning_rate, clip_norm=1.0)
         state = create_vocoder_state(key, params, opt)
-        trainer = VocoderTrainer(make_flow_train_step(cfg, opt), state,
-                                 loader, args.checkpoint_dir, args.model_name)
+        trainer = VocoderTrainer(
+            make_flow_train_step(cfg, opt, mesh=mesh,
+                                 compute_dtype=compute_dtype),
+            state, loader, args.checkpoint_dir, args.model_name)
         for epoch in range(args.epochs):
             trainer.train_epoch(epoch)
         return 0
