@@ -376,3 +376,32 @@ def test_sequence_parallel_halo_too_large_raises():
     mesh = make_mesh(num_data=8, num_model=1)
     with pytest.raises(ValueError):
         sp_gaussian_wavenet_core(params, cfg, x, c_up, mesh)
+
+
+def test_data_parallel_flow_bf16_step_runs():
+    """DP x mixed precision compose: sharded batch, bf16 couplings,
+    f32 log-density accumulation."""
+    from vqvae_speech_tpu.models.flowavenet import (
+        FlowavenetConfig, flowavenet_init)
+    from vqvae_speech_tpu.train.vocoder import (
+        make_flow_train_step, make_vocoder_optimizer, create_vocoder_state)
+
+    cfg = FlowavenetConfig(in_channel=1, cin_channel=6, n_block=2, n_flow=2,
+                           n_layer=1, filter_size=8, block_per_split=8,
+                           upsample_scales=(4,))
+    opt = make_vocoder_optimizer(1e-3, 1.0)
+    mesh = make_mesh(num_data=8, num_model=1)
+    state = replicate(create_vocoder_state(
+        jax.random.PRNGKey(1),
+        flowavenet_init(jax.random.PRNGKey(0), cfg), opt), mesh)
+    B, Tc = 8, 8
+    batch = shard_batch({
+        "x": np.asarray(jax.random.normal(
+            jax.random.PRNGKey(1), (B, Tc * 4, 1))) * 0.3,
+        "c": np.asarray(jax.random.normal(
+            jax.random.PRNGKey(2), (B, Tc, 6))),
+    }, mesh)
+    step = make_flow_train_step(cfg, opt, mesh=mesh,
+                                compute_dtype=jnp.bfloat16)
+    state, (loss, aux) = step(state, batch)
+    assert np.isfinite(float(loss))

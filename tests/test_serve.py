@@ -302,3 +302,17 @@ def test_parallel_server_rejects_bad_kind(flow_vocoder):
     with pytest.raises(ValueError):
         BucketedParallelSynthesisServer("iaf_student", params,
                                         StudentConfig())
+
+
+def test_parallel_flow_bf16_composition_independent(flow_vocoder):
+    """bf16 serving keeps the batch-composition-independence contract."""
+    from vqvae_speech_tpu.serve import BucketedParallelSynthesisServer
+    params, cfg = flow_vocoder
+    srv = BucketedParallelSynthesisServer(
+        "flowavenet", params, cfg, frame_buckets=(8,), max_batch=4,
+        compute_dtype=jnp.bfloat16)
+    conds = _mels([8, 6, 8])
+    together = srv.synthesize(conds, seed=3)
+    alone = srv.synthesize(conds[:1], seed=3)
+    np.testing.assert_array_equal(together[0].wave, alone[0].wave)
+    assert together[0].wave.dtype == np.float32
