@@ -405,3 +405,47 @@ def test_data_parallel_flow_bf16_step_runs():
                                 compute_dtype=jnp.bfloat16)
     state, (loss, aux) = step(state, batch)
     assert np.isfinite(float(loss))
+
+
+def test_data_parallel_wavenet_vqvae_step():
+    """WaveNetVQVAE DP: loss matches single-device over 2 steps."""
+    import optax
+    from vqvae_speech_tpu.models.wavenet_vqvae import wavenet_vqvae_init
+    from vqvae_speech_tpu.train.wavenet_trainer import (
+        WaveNetTrainState, make_wavenet_train_step)
+    from tests.test_training import TINY_CFG
+
+    cfg = dict(TINY_CFG)
+    cfg.update(decoder_type="wavenet", length=512, quantize=16,
+               input_features_dim=3, output_features_dim=3,
+               num_hiddens=8, embedding_dim=8, num_embeddings=5,
+               residual_channels=8, n_loop=1, n_layers=2, filter_size=2,
+               gate_channels=8, skip_out_channels=8,
+               global_condition_dim=4, local_condition_dim=8,
+               num_speakers=2)
+    key = jax.random.PRNGKey(0)
+    params, model_state, wn_cfg = wavenet_vqvae_init(key, cfg, 2)
+    opt = optax.amsgrad(1e-3)
+
+    def fresh():
+        return WaveNetTrainState(params, model_state, opt.init(params), key)
+
+    rng = np.random.default_rng(0)
+    B = 8
+    batch = {
+        "preprocessed_audio": np.tanh(rng.standard_normal(
+            (B, cfg["length"] + 1))).astype(np.float32),
+        "input_features": rng.standard_normal(
+            (B, cfg["length"] // 160 + 1, 39)).astype(np.float32),
+        "speaker_id": np.zeros((B,), np.int32),
+    }
+    single = make_wavenet_train_step(cfg, wn_cfg, opt)
+    mesh = make_mesh(num_data=8, num_model=1)
+    dp = make_wavenet_train_step(cfg, wn_cfg, opt, mesh=mesh)
+    s1, s8 = fresh(), replicate(fresh(), mesh)
+    sharded = shard_batch(batch, mesh)
+    for _ in range(2):
+        s1, m1 = single(s1, batch)
+        s8, m8 = dp(s8, sharded)
+        np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                                   rtol=2e-4, atol=1e-5)

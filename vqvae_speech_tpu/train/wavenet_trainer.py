@@ -32,7 +32,9 @@ class WaveNetTrainState(NamedTuple):
 
 
 def make_wavenet_train_step(config: dict, wavenet_cfg, optimizer,
-                            use_pallas=None):
+                            use_pallas=None, mesh=None):
+    """With ``mesh``, the batch is sharded over the ``data`` axis and the
+    state replicated (same DP contract as train/trainer.py:117-124)."""
     quantize = config["quantize"]
 
     def loss_fn(params, model_state, batch, rng):
@@ -53,7 +55,6 @@ def make_wavenet_train_step(config: dict, wavenet_cfg, optimizer,
                        perplexity=out.perplexity)
         return loss, (out.new_state, metrics)
 
-    @jax.jit
     def step(state: WaveNetTrainState, batch):
         rng, sub = jax.random.split(state.rng)
         grads, (new_model_state, metrics) = jax.grad(
@@ -65,7 +66,13 @@ def make_wavenet_train_step(config: dict, wavenet_cfg, optimizer,
         return WaveNetTrainState(params, new_model_state, new_opt,
                                  rng), metrics
 
-    return step
+    if mesh is None:
+        return jax.jit(step)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(step, in_shardings=(repl, data),
+                   out_shardings=(repl, repl))
 
 
 class WaveNetTrainer:
