@@ -27,7 +27,7 @@ import optax
 import yaml
 
 
-def main(B=1, length=7680):
+def main(B=1, length=7680, dtype=None):
     from vqvae_speech_tpu.models.wavenet_vqvae import wavenet_vqvae_init
     from vqvae_speech_tpu.train.wavenet_trainer import (
         WaveNetTrainState, make_wavenet_train_step)
@@ -43,7 +43,8 @@ def main(B=1, length=7680):
     optimizer = optax.amsgrad(cfg["learning_rate"])
     state = WaveNetTrainState(params, model_state, optimizer.init(params),
                               key)
-    step = make_wavenet_train_step(cfg, wavenet_cfg, optimizer)
+    step = make_wavenet_train_step(cfg, wavenet_cfg, optimizer,
+                                   compute_dtype=dtype)
 
     rng = np.random.default_rng(0)
     batch = {
@@ -79,4 +80,9 @@ def main(B=1, length=7680):
 
 
 if __name__ == "__main__":
-    main(*(int(a) for a in sys.argv[1:]))
+    argv = sys.argv[1:]
+    dtype = None
+    if "bf16" in argv:
+        argv.remove("bf16")
+        dtype = jnp.bfloat16
+    main(*(int(a) for a in argv), dtype=dtype)

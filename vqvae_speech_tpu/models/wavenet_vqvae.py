@@ -61,9 +61,14 @@ def wavenet_vqvae_init(key, configuration: dict, num_speakers: int,
 def wavenet_vqvae_apply(params, state, wavenet_cfg, x_enc, x_dec_onehot,
                         speaker_ids, configuration: dict, *,
                         training: bool = False, rng=None,
-                        use_pallas=None):
+                        use_pallas=None, decoder_compute_dtype=None):
     """x_enc: (B, T_feat, C_in) features; x_dec_onehot: (B, T_samp, quantize)
-    teacher-forcing inputs (one-hot mu-law [:-1]); speaker_ids: (B,)."""
+    teacher-forcing inputs (one-hot mu-law [:-1]); speaker_ids: (B,).
+
+    ``decoder_compute_dtype=jnp.bfloat16`` runs the WaveNet decoder (the
+    FLOP-dominant stage) in bf16; the encoder and the VQ search stay f32
+    to preserve exact codebook-index semantics, and the logits are cast
+    back to f32 for the loss."""
     z = convolutional_encoder_apply(params["encoder"], x_enc,
                                     configuration["num_residual_layers"])
     z = conv1d(params["pre_vq_conv"], z, padding=0)
@@ -72,9 +77,18 @@ def wavenet_vqvae_apply(params, state, wavenet_cfg, x_enc, x_dec_onehot,
         commitment_cost=configuration["commitment_cost"],
         decay=configuration["decay"], training=training,
         use_pallas=use_pallas)
+    dec_params, x_dec, quantized = (params["decoder"], x_dec_onehot,
+                                    vq_out.quantized)
+    if decoder_compute_dtype is not None:
+        dec_params = jax.tree_util.tree_map(
+            lambda p: p.astype(decoder_compute_dtype)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p, dec_params)
+        x_dec = x_dec.astype(decoder_compute_dtype)
+        quantized = quantized.astype(decoder_compute_dtype)
     recon = wavenet_decoder_apply(
-        params["decoder"], wavenet_cfg, x_dec_onehot, vq_out.quantized,
+        dec_params, wavenet_cfg, x_dec, quantized,
         speaker_ids, configuration=configuration, training=training, rng=rng)
+    recon = recon.astype(jnp.float32)
     new_state = dict(state)
     if vq_out.new_state is not None:
         new_state["vq"] = vq_out.new_state

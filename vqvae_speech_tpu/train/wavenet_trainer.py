@@ -32,9 +32,12 @@ class WaveNetTrainState(NamedTuple):
 
 
 def make_wavenet_train_step(config: dict, wavenet_cfg, optimizer,
-                            use_pallas=None, mesh=None):
+                            use_pallas=None, mesh=None,
+                            compute_dtype=None):
     """With ``mesh``, the batch is sharded over the ``data`` axis and the
-    state replicated (same DP contract as train/trainer.py:117-124)."""
+    state replicated (same DP contract as train/trainer.py:117-124).
+    ``compute_dtype=jnp.bfloat16`` runs the WaveNet decoder in bf16 —
+    encoder/VQ stay f32 for exact index semantics, masters stay f32."""
     quantize = config["quantize"]
 
     def loss_fn(params, model_state, batch, rng):
@@ -45,7 +48,7 @@ def make_wavenet_train_step(config: dict, wavenet_cfg, optimizer,
         out = wavenet_vqvae_apply(
             params, model_state, wavenet_cfg, batch["input_features"],
             x_dec, batch["speaker_id"], config, training=True, rng=rng,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas, decoder_compute_dtype=compute_dtype)
         logp = jax.nn.log_softmax(out.reconstructed_x, axis=-1)
         ce = -jnp.mean(jnp.take_along_axis(logp, target[..., None],
                                            axis=-1))
