@@ -78,3 +78,38 @@ def test_cli_train_teacher_bf16_data_parallel(tmp_path):
                  "--batch_size", "8", "--tiny", "--bf16",
                  "--data_parallel"]) == 0
     assert os.path.isfile(os.path.join(ckpt_dir, "teacher_best.pkl"))
+
+
+@pytest.mark.slow
+def test_example_serve_vocoder_flow(tmp_path):
+    """Train a tiny flow via the CLI, then serve mels through the
+    one-pass serving example."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    root = _mini_ljspeech(str(tmp_path))
+    data = os.path.join(root, "lj")
+    assert main(["preprocess", "--in_dir", root, "--out_dir", data]) == 0
+    ckpt_dir = os.path.join(root, "ckpt")
+    assert main(["train-flow", "--data_root", data,
+                 "--checkpoint_dir", ckpt_dir, "--epochs", "1",
+                 "--batch_size", "2", "--tiny"]) == 0
+
+    mel_full = np.load(os.path.join(
+        data, sorted(f for f in os.listdir(data) if "mel" in f)[0]))
+    mels = []
+    for i, n in enumerate((4, 3)):
+        p = os.path.join(root, f"mel{i}.npy")
+        np.save(p, mel_full[:n])
+        mels.append(p)
+
+    import serve_vocoder
+    out_dir = os.path.join(root, "synth")
+    assert serve_vocoder.main(
+        ["--kind", "flowavenet",
+         "--checkpoint", os.path.join(ckpt_dir, "flow_best.pkl"),
+         "--mels", *mels, "--out_dir", out_dir,
+         "--buckets", "4", "--tiny"]) == 0
+    for i, n in enumerate((4, 3)):
+        sr, audio = wavfile.read(os.path.join(out_dir, f"mel{i}.wav"))
+        assert sr == 22050 and len(audio) == n * 256
