@@ -225,3 +225,49 @@ def test_teacher_bf16_mixed_precision_step():
         sbf, lbf = stepbf(sbf, batch)
         assert abs(float(l32) - float(lbf)) < 0.05
     assert jax.tree_util.tree_leaves(sbf.params)[0].dtype == jnp.float32
+
+
+def test_student_bf16_mixed_precision_step():
+    """Distillation step with compute_dtype=bf16 tracks the f32 loss."""
+    import jax
+    import numpy as np
+    from vqvae_speech_tpu.models.clarinet import (
+        GaussianWaveNetConfig, gaussian_wavenet_init,
+        StudentConfig, wavenet_student_init)
+    from vqvae_speech_tpu.train.vocoder import (
+        make_student_train_step, make_vocoder_optimizer,
+        create_vocoder_state)
+
+    t_cfg = GaussianWaveNetConfig(
+        num_blocks=1, num_layers=2, front_channels=4, residual_channels=8,
+        gate_channels=8, skip_channels=8, kernel_size=2, cin_channels=4,
+        upsample_scales=(4, 4))
+    s_cfg = StudentConfig(num_blocks_student=(1, 1), num_layers=2,
+                          front_channels=4, residual_channels=8,
+                          gate_channels=8, skip_channels=8,
+                          kernel_size=3, cin_channels=4)
+    t_params = gaussian_wavenet_init(jax.random.PRNGKey(0), t_cfg)
+    opt = make_vocoder_optimizer(5e-4, 10.0)
+
+    def fresh():
+        return create_vocoder_state(
+            jax.random.PRNGKey(2),
+            wavenet_student_init(jax.random.PRNGKey(1), s_cfg), opt)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(
+            rng.standard_normal((2, 128, 1)).astype(np.float32) * 0.1),
+        "c": jnp.asarray(rng.standard_normal((2, 8, 4)).astype(np.float32)),
+    }
+    st32 = make_student_train_step(t_cfg, s_cfg, t_params, opt)
+    stbf = make_student_train_step(t_cfg, s_cfg, t_params, opt,
+                                   compute_dtype=jnp.bfloat16)
+    s32, sbf = fresh(), fresh()
+    for _ in range(2):
+        s32, (l32, _) = st32(s32, batch)
+        sbf, (lbf, _) = stbf(sbf, batch)
+        # same rng stream (same state.rng), so the same z draw; bf16
+        # rounding only
+        assert abs(float(l32) - float(lbf)) / max(abs(float(l32)), 1) < 0.1
+    assert jax.tree_util.tree_leaves(sbf.params)[0].dtype == jnp.float32
