@@ -449,3 +449,65 @@ def test_data_parallel_wavenet_vqvae_step():
         s8, m8 = dp(s8, sharded)
         np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_tensor_parallel_decode_matches_single_device():
+    """Channel-sharded AR decode == single-device scan (greedy stream and
+    logits) on an 8-way model axis."""
+    from vqvae_speech_tpu.models.wavenet.model import (
+        WaveNetConfig, wavenet_init)
+    from vqvae_speech_tpu.models.wavenet.incremental import (
+        wavenet_incremental_generate)
+    from vqvae_speech_tpu.parallel.tp_decode import (
+        wavenet_incremental_generate_tp)
+
+    cfg = WaveNetConfig(out_channels=32, layers=4, stacks=2,
+                        residual_channels=16, gate_channels=32,
+                        skip_out_channels=16, kernel_size=2,
+                        cin_channels=4, gin_channels=-1,
+                        upsample_conditional_features=True,
+                        upsample_scales=(2, 2))
+    params = wavenet_init(jax.random.PRNGKey(0), cfg)
+    T = 24
+    c = jax.random.normal(jax.random.PRNGKey(1), (2, T // 4, 4))
+
+    ref_out, ref_emit = wavenet_incremental_generate(
+        params, cfg, jax.random.PRNGKey(2), T, c=c, sample=False)
+
+    mesh = make_mesh(num_data=1, num_model=8)
+    tp_out, tp_emit = wavenet_incremental_generate_tp(
+        params, cfg, jax.random.PRNGKey(2), T, mesh, c=c, sample=False)
+
+    np.testing.assert_allclose(np.asarray(tp_out), np.asarray(ref_out),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(tp_emit), np.asarray(ref_emit))
+
+
+def test_tensor_parallel_decode_2way_with_speakers():
+    from vqvae_speech_tpu.models.wavenet.model import (
+        WaveNetConfig, wavenet_init)
+    from vqvae_speech_tpu.models.wavenet.incremental import (
+        wavenet_incremental_generate)
+    from vqvae_speech_tpu.parallel.tp_decode import (
+        wavenet_incremental_generate_tp)
+
+    cfg = WaveNetConfig(out_channels=32, layers=3, stacks=1,
+                        residual_channels=8, gate_channels=16,
+                        skip_out_channels=8, kernel_size=3,
+                        cin_channels=4, gin_channels=6, n_speakers=3,
+                        upsample_conditional_features=True,
+                        upsample_scales=(4,))
+    params = wavenet_init(jax.random.PRNGKey(0), cfg)
+    T = 16
+    c = jax.random.normal(jax.random.PRNGKey(1), (2, T // 4, 4))
+    g = jnp.asarray([0, 2], jnp.int32)
+
+    ref_out, ref_emit = wavenet_incremental_generate(
+        params, cfg, jax.random.PRNGKey(2), T, c=c, g=g, sample=False)
+    mesh = make_mesh(num_data=4, num_model=2)
+    tp_out, tp_emit = wavenet_incremental_generate_tp(
+        params, cfg, jax.random.PRNGKey(2), T, mesh, c=c, g=g,
+        sample=False)
+    np.testing.assert_allclose(np.asarray(tp_out), np.asarray(ref_out),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(tp_emit), np.asarray(ref_emit))
