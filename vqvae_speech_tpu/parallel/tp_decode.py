@@ -133,8 +133,14 @@ def wavenet_incremental_generate_tp(params, cfg: WaveNetConfig, rng, T: int,
             x_in, bufs, key = carry
             key, k_sample = jax.random.split(key)
             x = x_in @ w_first + b_first
-            skips = jnp.float32(0.0)
             sqrt_half = jnp.float32(math.sqrt(0.5))
+            # Deferred skip reduction: only the residual path needs a psum
+            # per layer (the next layer consumes it); skip contributions are
+            # LINEAR in the locals, so accumulate partials (with the legacy
+            # geometric scaling folded in) and psum ONCE per step — halves
+            # the per-sample collective count.
+            skips_partial = jnp.float32(0.0)
+            bias_total = jnp.float32(0.0)
             new_bufs = []
             for layer in range(cfg.layers):
                 d = dilations[layer]
@@ -150,14 +156,19 @@ def wavenet_incremental_generate_tp(params, cfg: WaveNetConfig, rng, T: int,
                 acc = acc + btap[layer] + cond_stack[layer, :, t]
                 a, b = jnp.split(acc, 2, axis=-1)
                 h = jnp.tanh(a) * jax.nn.sigmoid(b)
-                skip = jax.lax.psum(h @ wskip[layer], axis) + bskip[layer]
+                # legacy: skips = (skips + s_l) * q at every layer > 0, so
+                # s_l carries q^(L-l) for l >= 1 and s_0 carries q^(L-1)
+                exp = (max(cfg.layers - layer, 1) if layer else
+                       cfg.layers - 1)
+                scale = (sqrt_half ** exp if cfg.legacy
+                         else jnp.float32(1.0))
+                skips_partial = skips_partial + (h @ wskip[layer]) * scale
+                bias_total = bias_total + bskip[layer] * scale
                 out = jax.lax.psum(h @ wout[layer], axis) + bout[layer]
                 new_bufs.append(jax.lax.dynamic_update_index_in_dim(
                     bufs[layer], x, jnp.mod(t, L), axis=1))
                 x = (out + x) * sqrt_half
-                skips = skips + skip
-                if cfg.legacy and layer > 0:
-                    skips = skips * sqrt_half
+            skips = jax.lax.psum(skips_partial, axis) + bias_total
             out = jax.nn.relu(skips)
             out = jax.nn.relu(out @ w_last1 + b_last1)
             out = (out @ w_last2 + b_last2).astype(jnp.float32)
