@@ -511,3 +511,35 @@ def test_tensor_parallel_decode_2way_with_speakers():
     np.testing.assert_allclose(np.asarray(tp_out), np.asarray(ref_out),
                                rtol=2e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(tp_emit), np.asarray(ref_emit))
+
+
+def test_tensor_parallel_decode_int8_matches_single_chip_int8():
+    """int8 x TP: per-column scales are permutation-equivariant, so the
+    sharded int8 decode matches the single-chip int8 scan."""
+    from vqvae_speech_tpu.models.wavenet.model import (
+        WaveNetConfig, wavenet_init)
+    from vqvae_speech_tpu.models.wavenet.incremental import (
+        wavenet_incremental_generate)
+    from vqvae_speech_tpu.parallel.tp_decode import (
+        wavenet_incremental_generate_tp)
+
+    cfg = WaveNetConfig(out_channels=32, layers=4, stacks=2,
+                        residual_channels=16, gate_channels=32,
+                        skip_out_channels=16, kernel_size=2,
+                        cin_channels=4, gin_channels=-1,
+                        upsample_conditional_features=True,
+                        upsample_scales=(2, 2))
+    params = wavenet_init(jax.random.PRNGKey(0), cfg)
+    T = 20
+    c = jax.random.normal(jax.random.PRNGKey(1), (1, T // 4, 4))
+
+    ref_out, ref_emit = wavenet_incremental_generate(
+        params, cfg, jax.random.PRNGKey(2), T, c=c, sample=False,
+        weight_quant="int8")
+    mesh = make_mesh(num_data=1, num_model=8)
+    tp_out, tp_emit = wavenet_incremental_generate_tp(
+        params, cfg, jax.random.PRNGKey(2), T, mesh, c=c, sample=False,
+        weight_quant="int8")
+    np.testing.assert_allclose(np.asarray(tp_out), np.asarray(ref_out),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(tp_emit), np.asarray(ref_emit))

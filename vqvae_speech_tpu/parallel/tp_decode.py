@@ -53,6 +53,7 @@ def _gate_permutation(gate: int, m: int):
 def wavenet_incremental_generate_tp(params, cfg: WaveNetConfig, rng, T: int,
                                     mesh, c=None, g=None,
                                     sample: bool = False,
+                                    weight_quant: str = None,
                                     axis: str = "model"):
     """Channel-sharded equivalent of ``wavenet_incremental_generate``
     (models/wavenet/incremental.py) over ``mesh`` axis ``axis``.
@@ -60,9 +61,14 @@ def wavenet_incremental_generate_tp(params, cfg: WaveNetConfig, rng, T: int,
     Requires ``gate_channels % (2*axis_size) == 0`` and, for the skip/out
     shards, ``(gate_channels//2) % axis_size == 0``.  f32 path (the int8 /
     fused options compose with TP in principle but are not wired here).
-    Returns (outputs (B, T, out_channels), emitted) like the single-chip
-    scan; greedy streams are bit-checked against it in tests.
+    ``weight_quant='int8'`` composes weight-only int8 (per-output-channel
+    scales, same scheme as the single-chip scan) with the sharding — each
+    chip streams 1/M of the int8 stack, the production single-stream
+    configuration.  Returns (outputs (B, T, out_channels), emitted) like
+    the single-chip scan; greedy streams are bit-checked against it in
+    tests.
     """
+    assert weight_quant in (None, "int8"), weight_quant
     m = mesh.shape[axis]
     gate = cfg.gate_channels
     assert gate % (2 * m) == 0, (gate, m)
@@ -110,6 +116,19 @@ def wavenet_incremental_generate_tp(params, cfg: WaveNetConfig, rng, T: int,
     bskip = jnp.stack(bskip)
     wout = jnp.stack(wout)
     bout = jnp.stack(bout)
+    wtap_scale = wskip_scale = wout_scale = None
+    if weight_quant == "int8":
+        from vqvae_speech_tpu.models.wavenet.incremental import _quantize_int8
+        # per-output-column scales are permutation-equivariant, so the
+        # sharded quantization matches the single-chip scan's exactly;
+        # column scales shard with wtap's columns, while wskip/wout scales
+        # (per output, rows sharded) replicate and apply AFTER the psum.
+        wtap, wtap_scale = _quantize_int8(wtap, axes=(1, 2))
+        wtap_scale = wtap_scale.reshape(cfg.layers, 1, -1)
+        wskip, wskip_scale = _quantize_int8(wskip, axes=(1,))
+        wskip_scale = wskip_scale.reshape(cfg.layers, -1)
+        wout, wout_scale = _quantize_int8(wout, axes=(1,))
+        wout_scale = wout_scale.reshape(cfg.layers, -1)
 
     w_first = conv_weight(params["first_conv"])[0]
     b_first = params["first_conv"]["b"]
@@ -126,9 +145,12 @@ def wavenet_incremental_generate_tp(params, cfg: WaveNetConfig, rng, T: int,
     dilations = tuple(cfg.dilation(i) for i in range(cfg.layers))
     k = cfg.kernel_size
 
-    def run(wtap, btap, wskip, bskip, wout, bout, cond_stack, rng):
+    def run(wtap, btap, wskip, bskip, wout, bout, cond_stack, rng,
+            wtap_scale=None, wskip_scale=None, wout_scale=None):
         # local shards: wtap (L, k, C, gate/m) with matched a/b halves;
         # wskip/wout (L, half/m, S|C); cond (L, B, T, gate/m)
+        quant = wtap_scale is not None
+
         def step(carry, t):
             x_in, bufs, key = carry
             key, k_sample = jax.random.split(key)
@@ -145,14 +167,18 @@ def wavenet_incremental_generate_tp(params, cfg: WaveNetConfig, rng, T: int,
             for layer in range(cfg.layers):
                 d = dilations[layer]
                 L = bufs[layer].shape[1]
-                acc = x @ wtap[layer, k - 1]
+                wl = (wtap[layer].astype(x.dtype) if quant
+                      else wtap[layer])
+                acc = x @ wl[k - 1]
                 for j in range(k - 1):
                     lag = (k - 1 - j) * d
                     slot = jnp.mod(t - lag, L)
                     tap = jax.lax.dynamic_index_in_dim(
                         bufs[layer], slot, axis=1, keepdims=False)
                     tap = jnp.where(t - lag >= 0, tap, jnp.zeros_like(tap))
-                    acc = acc + tap @ wtap[layer, j]
+                    acc = acc + tap @ wl[j]
+                if quant:
+                    acc = acc * wtap_scale[layer]
                 acc = acc + btap[layer] + cond_stack[layer, :, t]
                 a, b = jnp.split(acc, 2, axis=-1)
                 h = jnp.tanh(a) * jax.nn.sigmoid(b)
@@ -162,9 +188,17 @@ def wavenet_incremental_generate_tp(params, cfg: WaveNetConfig, rng, T: int,
                        cfg.layers - 1)
                 scale = (sqrt_half ** exp if cfg.legacy
                          else jnp.float32(1.0))
-                skips_partial = skips_partial + (h @ wskip[layer]) * scale
+                if quant:
+                    sk = (h @ wskip[layer].astype(h.dtype)) * \
+                        wskip_scale[layer]
+                    ot = (h @ wout[layer].astype(h.dtype)) * \
+                        wout_scale[layer]
+                else:
+                    sk = h @ wskip[layer]
+                    ot = h @ wout[layer]
+                skips_partial = skips_partial + sk * scale
                 bias_total = bias_total + bskip[layer] * scale
-                out = jax.lax.psum(h @ wout[layer], axis) + bout[layer]
+                out = jax.lax.psum(ot, axis) + bout[layer]
                 new_bufs.append(jax.lax.dynamic_update_index_in_dim(
                     bufs[layer], x, jnp.mod(t, L), axis=1))
                 x = (out + x) * sqrt_half
@@ -196,10 +230,15 @@ def wavenet_incremental_generate_tp(params, cfg: WaveNetConfig, rng, T: int,
     shard_gate = P(None, None, None, axis)          # wtap (L,k,C,gate)
     shard_half = P(None, axis, None)                # wskip/wout (L,half,·)
     shard_cond = P(None, None, None, axis)          # cond (L,B,T,gate)
+    in_specs = [shard_gate, P(None, axis), shard_half, P(None, None),
+                shard_half, P(None, None), shard_cond, P()]
+    args = [wtap, btap, wskip, bskip, wout, bout, cond_stack, rng]
+    if weight_quant == "int8":
+        in_specs += [P(None, None, axis), P(None, None), P(None, None)]
+        args += [wtap_scale, wskip_scale, wout_scale]
     fn = shard_map(
         run, mesh=mesh,
-        in_specs=(shard_gate, P(None, axis), shard_half, P(None, None),
-                  shard_half, P(None, None), shard_cond, P()),
+        in_specs=tuple(in_specs),
         out_specs=(P(), P()),
         check_rep=False)
-    return jax.jit(fn)(wtap, btap, wskip, bskip, wout, bout, cond_stack, rng)
+    return jax.jit(fn)(*args)
