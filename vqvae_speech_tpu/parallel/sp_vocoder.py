@@ -19,7 +19,6 @@ Communication per token is O(layers * halo/T_local) — negligible once
 T_local >> receptive field; the requirement ``halo <= T_local`` is asserted.
 """
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,6 @@ ICI domain, which this image does not have.
 Reference loop being scaled: src/wavenet_vocoder/wavenet.py:266-395.
 """
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
