@@ -316,3 +316,21 @@ def test_parallel_flow_bf16_composition_independent(flow_vocoder):
     alone = srv.synthesize(conds[:1], seed=3)
     np.testing.assert_array_equal(together[0].wave, alone[0].wave)
     assert together[0].wave.dtype == np.float32
+
+
+def test_synthesis_server_tensor_parallel_matches_single_chip(vocoder):
+    """mesh with a >1 model axis routes decode through the channel-sharded
+    TP scan; greedy waves match the single-chip server bit-for-bit."""
+    from vqvae_speech_tpu.serve import BucketedSynthesisServer
+    from vqvae_speech_tpu.parallel.mesh import make_mesh
+    params, cfg = vocoder  # gate_channels=8 -> supports 2-way model axis
+    mesh = make_mesh(num_data=4, num_model=2)
+    tp_srv = BucketedSynthesisServer(params, cfg, frame_buckets=(6,),
+                                     max_batch=2, sample=False, mesh=mesh)
+    plain = BucketedSynthesisServer(params, cfg, frame_buckets=(6,),
+                                    max_batch=2, sample=False)
+    conds = _conds([6, 4], seed=3)
+    got = tp_srv.synthesize(conds)
+    want = plain.synthesize(conds)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a.wave, b.wave)

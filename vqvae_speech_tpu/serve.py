@@ -199,7 +199,8 @@ class BucketedSynthesisServer:
                  max_batch: int = 8,
                  sample: bool = False,
                  compute_dtype=None,
-                 weight_quant: Optional[str] = None):
+                 weight_quant: Optional[str] = None,
+                 mesh=None):
         self._params = params
         self._cfg = cfg
         self._buckets = tuple(sorted(int(b) for b in frame_buckets))
@@ -207,6 +208,16 @@ class BucketedSynthesisServer:
         self._sample = sample
         self._compute_dtype = compute_dtype
         self._weight_quant = weight_quant
+        self._mesh = mesh
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            if compute_dtype is not None:
+                raise ValueError(
+                    "tensor-parallel decode composes with f32/int8, not "
+                    "compute_dtype")
+            if sample:
+                raise ValueError(
+                    "tensor-parallel decode serves greedy streams; "
+                    "sampling is not wired")
         self._launches = 0
         factor = 1
         if cfg.upsample_conditional_features:
@@ -249,11 +260,20 @@ class BucketedSynthesisServer:
                     g = np.zeros((self._max_batch,), np.int32)
                     for row, i in enumerate(chunk):
                         g[row] = speaker_ids[i]
-                _, emitted = wavenet_incremental_generate(
-                    self._params, self._cfg, jax.random.PRNGKey(seed), T,
-                    c=c, g=g, sample=self._sample,
-                    compute_dtype=self._compute_dtype,
-                    weight_quant=self._weight_quant)
+                if (self._mesh is not None
+                        and self._mesh.shape.get("model", 1) > 1):
+                    from vqvae_speech_tpu.parallel.tp_decode import (
+                        wavenet_incremental_generate_tp)
+                    _, emitted = wavenet_incremental_generate_tp(
+                        self._params, self._cfg, jax.random.PRNGKey(seed),
+                        T, self._mesh, c=c, g=g, sample=False,
+                        weight_quant=self._weight_quant)
+                else:
+                    _, emitted = wavenet_incremental_generate(
+                        self._params, self._cfg, jax.random.PRNGKey(seed),
+                        T, c=c, g=g, sample=self._sample,
+                        compute_dtype=self._compute_dtype,
+                        weight_quant=self._weight_quant)
                 emitted = np.asarray(emitted)
                 self._launches += 1
                 for row, i in enumerate(chunk):
