@@ -271,3 +271,55 @@ def test_student_bf16_mixed_precision_step():
         # rounding only
         assert abs(float(l32) - float(lbf)) / max(abs(float(l32)), 1) < 0.1
     assert jax.tree_util.tree_leaves(sbf.params)[0].dtype == jnp.float32
+
+
+def test_trainer_best_gated_on_test_loss(tmp_path):
+    """With an eval loader, 'best' checkpoints gate on TEST loss of the
+    EMA params (reference clarinet train.py:273-283)."""
+    import jax
+    import os
+    import numpy as np
+    from vqvae_speech_tpu.models.clarinet import (
+        GaussianWaveNetConfig, gaussian_wavenet_init)
+    from vqvae_speech_tpu.train.vocoder import (
+        VocoderTrainer, make_teacher_train_step, make_teacher_eval_loss,
+        make_vocoder_optimizer, create_vocoder_state,
+        load_vocoder_checkpoint)
+
+    cfg = GaussianWaveNetConfig(
+        num_blocks=1, num_layers=2, front_channels=4, residual_channels=8,
+        gate_channels=8, skip_channels=8, kernel_size=2, cin_channels=4,
+        upsample_scales=(4, 4))
+    opt = make_vocoder_optimizer(1e-3, 10.0)
+    state = create_vocoder_state(
+        jax.random.PRNGKey(1),
+        gaussian_wavenet_init(jax.random.PRNGKey(0), cfg), opt)
+
+    rng = np.random.default_rng(0)
+
+    def batches(seed):
+        r = np.random.default_rng(seed)
+        return [{
+            "x": jnp.asarray(
+                r.standard_normal((2, 64, 1)).astype(np.float32) * 0.1),
+            "c": jnp.asarray(r.standard_normal((2, 4, 4)).astype(np.float32)),
+        }]
+
+    eval_calls = []
+    inner = make_teacher_eval_loss(cfg)
+
+    def spy_eval(params, batch):
+        eval_calls.append(1)
+        return inner(params, batch)
+
+    trainer = VocoderTrainer(
+        make_teacher_train_step(cfg, opt), state, batches(1),
+        str(tmp_path), "teacher", eval_loader=batches(2),
+        eval_loss_fn=spy_eval, eval_on_ema=True)
+    trainer.train_epoch(0)
+    assert eval_calls, "eval loader was not consulted"
+    best = load_vocoder_checkpoint(
+        os.path.join(str(tmp_path), "teacher_best.pkl"))
+    # the recorded best loss is the TEST loss, not the train loss
+    test_loss = float(inner(trainer.state.ema_params, batches(2)[0]))
+    assert abs(best["loss"] - test_loss) < 1e-6

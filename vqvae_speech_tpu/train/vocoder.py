@@ -211,17 +211,40 @@ def make_flow_train_step(cfg, optimizer, mesh=None, compute_dtype=None):
 
 
 class VocoderTrainer:
-    """Epoch loop + best-loss checkpointing (reference train.py:281-284)."""
+    """Epoch loop + best-loss checkpointing (reference train.py:281-284).
+
+    When an ``eval_loader`` + ``eval_loss_fn`` are given, the 'best'
+    checkpoint is gated on the TEST loss after each epoch — the
+    reference's contract (clarinet train.py:273-283 evaluates the
+    EMA-averaged model on the test loader; flow train.py:288-293 the raw
+    model).  ``eval_on_ema`` selects which params the eval uses.
+    Without an eval loader, gating falls back to the train epoch loss."""
 
     def __init__(self, step_fn, state: VocoderTrainState, loader,
-                 checkpoint_dir: str, name: str):
+                 checkpoint_dir: str, name: str, eval_loader=None,
+                 eval_loss_fn=None, eval_on_ema: bool = True):
         self._step_fn = step_fn
         self.state = state
         self._loader = loader
+        self._eval_loader = eval_loader
+        self._eval_loss_fn = eval_loss_fn
+        self._eval_on_ema = eval_on_ema
         self._dir = checkpoint_dir
         self._name = name
         self.best_loss = np.inf
         os.makedirs(checkpoint_dir, exist_ok=True)
+
+    def evaluate(self):
+        """Mean eval loss over the test loader (reference evaluate())."""
+        if self._eval_loader is None or self._eval_loss_fn is None:
+            return None
+        params = (self.state.ema_params if self._eval_on_ema
+                  else self.state.params)
+        total, count = 0.0, 0
+        for batch in self._eval_loader:
+            total += float(self._eval_loss_fn(params, batch))
+            count += 1
+        return total / max(count, 1)
 
     def train_epoch(self, epoch: int):
         total, count = 0.0, 0
@@ -231,11 +254,19 @@ class VocoderTrainer:
             total += float(loss)
             count += 1
         avg = total / max(count, 1)
-        ConsoleLogger.status(f"{self._name} epoch {epoch}: loss {avg:.4f}")
+        gate = self.evaluate()
+        if gate is None:
+            ConsoleLogger.status(
+                f"{self._name} epoch {epoch}: loss {avg:.4f}")
+            gate = avg
+        else:
+            ConsoleLogger.status(
+                f"{self._name} epoch {epoch}: loss {avg:.4f} "
+                f"test {gate:.4f}")
         self.save(epoch, avg)
-        if avg < self.best_loss:
-            self.best_loss = avg
-            self.save(epoch, avg, best=True)
+        if gate < self.best_loss:
+            self.best_loss = gate
+            self.save(epoch, gate, best=True)
         return avg
 
     def save(self, epoch, loss, best=False):
@@ -252,6 +283,33 @@ class VocoderTrainer:
         with open(path, "wb") as f:
             pickle.dump(payload, f)
         return path
+
+
+def make_teacher_eval_loss(cfg):
+    """Jitted test-loss for the teacher (reference train.py:117-136:
+    Gaussian NLL of the EMA model on the test loader)."""
+    from vqvae_speech_tpu.models.clarinet import gaussian_wavenet_apply
+    from vqvae_speech_tpu.models.clarinet.loss import gaussian_loss
+
+    @jax.jit
+    def loss(params, batch):
+        y_hat = gaussian_wavenet_apply(params, cfg, batch["x"], batch["c"])
+        return jnp.mean(gaussian_loss(y_hat[:, :-1], batch["x"][:, 1:]))
+
+    return loss
+
+
+def make_flow_eval_loss(cfg):
+    """Jitted test-loss for FloWaveNet (reference flow train.py:92-110)."""
+    from vqvae_speech_tpu.models.flowavenet import flowavenet_forward
+
+    @jax.jit
+    def loss(params, batch):
+        log_p, logdet = flowavenet_forward(params, cfg, batch["x"],
+                                           batch["c"])
+        return -(log_p + logdet)
+
+    return loss
 
 
 def load_vocoder_checkpoint(path):

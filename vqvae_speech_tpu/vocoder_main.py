@@ -82,7 +82,8 @@ def main(argv=None):
     from vqvae_speech_tpu.train.vocoder import (
         make_vocoder_optimizer, create_vocoder_state, VocoderTrainer,
         make_teacher_train_step, make_student_train_step,
-        make_flow_train_step, load_vocoder_checkpoint)
+        make_flow_train_step, load_vocoder_checkpoint,
+        make_teacher_eval_loss, make_flow_eval_loss)
     from vqvae_speech_tpu.models.clarinet import (
         GaussianWaveNetConfig, gaussian_wavenet_init,
         gaussian_wavenet_generate, gaussian_wavenet_upsample,
@@ -119,6 +120,11 @@ def main(argv=None):
     if args.command.startswith("train-"):
         ds = LJSpeechDataset(args.data_root, train=True)
         loader = LJSpeechLoader(ds, args.batch_size, seed=args.seed)
+        # reference gates 'best' on the TEST loss (clarinet train.py:273-283)
+        test_ds = LJSpeechDataset(args.data_root, train=False)
+        eval_loader = (LJSpeechLoader(test_ds, args.batch_size,
+                                      seed=args.seed)
+                       if len(test_ds) >= args.batch_size else None)
         compute_dtype = jnp.bfloat16 if args.bf16 else None
         mesh = None
         if args.data_parallel:
@@ -133,7 +139,9 @@ def main(argv=None):
         step = make_teacher_train_step(cfg, opt, mesh=mesh,
                                        compute_dtype=compute_dtype)
         trainer = VocoderTrainer(step, state, loader, args.checkpoint_dir,
-                                 args.model_name)
+                                 args.model_name, eval_loader=eval_loader,
+                                 eval_loss_fn=make_teacher_eval_loss(cfg),
+                                 eval_on_ema=True)
         for epoch in range(args.epochs):
             trainer.train_epoch(epoch)
         return 0
@@ -170,7 +178,9 @@ def main(argv=None):
         trainer = VocoderTrainer(
             make_flow_train_step(cfg, opt, mesh=mesh,
                                  compute_dtype=compute_dtype),
-            state, loader, args.checkpoint_dir, args.model_name)
+            state, loader, args.checkpoint_dir, args.model_name,
+            eval_loader=eval_loader, eval_loss_fn=make_flow_eval_loss(cfg),
+            eval_on_ema=False)
         for epoch in range(args.epochs):
             trainer.train_epoch(epoch)
         return 0
