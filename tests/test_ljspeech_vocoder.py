@@ -323,3 +323,17 @@ def test_trainer_best_gated_on_test_loss(tmp_path):
     # the recorded best loss is the TEST loss, not the train loss
     test_loss = float(inner(trainer.state.ema_params, batches(2)[0]))
     assert abs(best["loss"] - test_loss) < 1e-6
+
+
+def test_steplr_schedule_halves_indefinitely():
+    """Flow's StepLR(200k, 0.5) vs the clarinet milestones which stop at
+    600k (PARITY: the reference's clarinet halving is additionally a
+    torch param-group-key no-op; we implement the intent)."""
+    from vqvae_speech_tpu.train.vocoder import (
+        steplr_schedule, step_lr_schedule)
+    flow = steplr_schedule(1.0)
+    clarinet = step_lr_schedule(1.0)
+    assert float(flow(199_999)) == 1.0
+    assert float(flow(200_000)) == 0.5
+    assert float(flow(800_000)) == 0.0625      # keeps halving
+    assert float(clarinet(800_000)) == 0.125   # milestones stop at 600k

@@ -26,10 +26,16 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from vqvae_speech_tpu.utils.logger import ConsoleLogger
 
 
-LR_HALVING_STEPS = (200_000, 400_000, 600_000)  # reference train.py:76-87
+LR_HALVING_STEPS = (200_000, 400_000, 600_000)  # reference train.py:75-86
 
 
 def step_lr_schedule(base_lr: float, boundaries=LR_HALVING_STEPS):
+    """Clarinet milestones: halve at 200k/400k/600k, then hold.
+
+    NOTE (PARITY #31): the reference INTENDS this but its implementation
+    mutates ``param_group['learning_rate']`` — torch param groups key the
+    rate as ``'lr'``, so the reference actually trains at a constant LR.
+    We implement the intended schedule."""
     def schedule(step):
         factor = 1.0
         for b in boundaries:
@@ -38,12 +44,25 @@ def step_lr_schedule(base_lr: float, boundaries=LR_HALVING_STEPS):
     return schedule
 
 
-def make_vocoder_optimizer(learning_rate: float, clip_norm: float):
+def steplr_schedule(base_lr: float, halve_every: int = 200_000):
+    """FloWaveNet's torch StepLR(step_size=200000, gamma=0.5)
+    (reference flow train.py:253): halve every 200k steps, indefinitely
+    — unlike the clarinet milestones, which stop after 600k."""
+    def schedule(step):
+        return base_lr * 0.5 ** (step // halve_every)
+    return schedule
+
+
+def make_vocoder_optimizer(learning_rate: float, clip_norm: float,
+                           halve_every: int = None):
+    """Adam + global-norm clip + LR schedule.  ``halve_every`` selects
+    the flow-style StepLR; default is the clarinet milestone schedule."""
+    schedule = (steplr_schedule(learning_rate, halve_every)
+                if halve_every else step_lr_schedule(learning_rate))
     return optax.chain(
         optax.clip_by_global_norm(clip_norm),
         optax.scale_by_adam(),
-        optax.scale_by_schedule(
-            lambda step: -step_lr_schedule(learning_rate)(step)),
+        optax.scale_by_schedule(lambda step: -schedule(step)),
     )
 
 

@@ -173,7 +173,8 @@ def main(argv=None):
         params = actnorm_initialize(params, cfg,
                                     jnp.asarray(first["x"]),
                                     jnp.asarray(first["c"]))
-        opt = make_vocoder_optimizer(args.learning_rate, clip_norm=1.0)
+        opt = make_vocoder_optimizer(args.learning_rate, clip_norm=1.0,
+                                     halve_every=200_000)
         state = create_vocoder_state(key, params, opt)
         trainer = VocoderTrainer(
             make_flow_train_step(cfg, opt, mesh=mesh,
