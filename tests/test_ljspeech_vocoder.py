@@ -337,3 +337,41 @@ def test_steplr_schedule_halves_indefinitely():
     assert float(flow(200_000)) == 0.5
     assert float(flow(800_000)) == 0.0625      # keeps halving
     assert float(clarinet(800_000)) == 0.125   # milestones stop at 600k
+
+
+def test_trainer_persists_loss_histories_and_on_best(tmp_path):
+    """Reference contract: {name}_train.npy / {name}.npy per epoch, and an
+    on-best hook fires when a new best checkpoint is saved."""
+    import jax
+    import os
+    import numpy as np
+    from vqvae_speech_tpu.models.clarinet import (
+        GaussianWaveNetConfig, gaussian_wavenet_init)
+    from vqvae_speech_tpu.train.vocoder import (
+        VocoderTrainer, make_teacher_train_step, make_vocoder_optimizer,
+        create_vocoder_state)
+
+    cfg = GaussianWaveNetConfig(
+        num_blocks=1, num_layers=2, front_channels=4, residual_channels=8,
+        gate_channels=8, skip_channels=8, kernel_size=2, cin_channels=4,
+        upsample_scales=(4, 4))
+    opt = make_vocoder_optimizer(1e-3, 10.0)
+    state = create_vocoder_state(
+        jax.random.PRNGKey(1),
+        gaussian_wavenet_init(jax.random.PRNGKey(0), cfg), opt)
+    r = np.random.default_rng(0)
+    loader = [{
+        "x": jnp.asarray(r.standard_normal((2, 64, 1)).astype(np.float32)
+                         * 0.1),
+        "c": jnp.asarray(r.standard_normal((2, 4, 4)).astype(np.float32)),
+    }]
+    fired = []
+    trainer = VocoderTrainer(
+        make_teacher_train_step(cfg, opt), state, loader, str(tmp_path),
+        "teacher", on_best=lambda state, epoch: fired.append(epoch))
+    trainer.train_epoch(0)
+    trainer.train_epoch(1)
+    train_hist = np.load(os.path.join(str(tmp_path), "teacher_train.npy"))
+    eval_hist = np.load(os.path.join(str(tmp_path), "teacher.npy"))
+    assert train_hist.shape == (2,) and eval_hist.shape == (2,)
+    assert fired and fired[0] == 0  # epoch 0 is always a new best

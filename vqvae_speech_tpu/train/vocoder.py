@@ -241,16 +241,22 @@ class VocoderTrainer:
 
     def __init__(self, step_fn, state: VocoderTrainState, loader,
                  checkpoint_dir: str, name: str, eval_loader=None,
-                 eval_loss_fn=None, eval_on_ema: bool = True):
+                 eval_loss_fn=None, eval_on_ema: bool = True,
+                 on_best=None):
         self._step_fn = step_fn
         self.state = state
         self._loader = loader
         self._eval_loader = eval_loader
         self._eval_loss_fn = eval_loss_fn
         self._eval_on_ema = eval_on_ema
+        self._on_best = on_best
         self._dir = checkpoint_dir
         self._name = name
         self.best_loss = np.inf
+        # per-epoch loss histories persisted like the reference's
+        # {name}_train.npy / {name}.npy (train.py:284-296)
+        self.train_losses = []
+        self.eval_losses = []
         os.makedirs(checkpoint_dir, exist_ok=True)
 
     def evaluate(self):
@@ -282,10 +288,20 @@ class VocoderTrainer:
             ConsoleLogger.status(
                 f"{self._name} epoch {epoch}: loss {avg:.4f} "
                 f"test {gate:.4f}")
+        self.train_losses.append(avg)
+        self.eval_losses.append(gate)
+        np.save(os.path.join(self._dir, f"{self._name}_train.npy"),
+                np.asarray(self.train_losses))
+        np.save(os.path.join(self._dir, f"{self._name}.npy"),
+                np.asarray(self.eval_losses))
         self.save(epoch, avg)
         if gate < self.best_loss:
             self.best_loss = gate
             self.save(epoch, gate, best=True)
+            if self._on_best is not None:
+                # reference: synthesize a sample whenever a new best is
+                # saved (flow train.py:290-295)
+                self._on_best(self.state, epoch)
         return avg
 
     def save(self, epoch, loss, best=False):

@@ -176,12 +176,27 @@ def main(argv=None):
         opt = make_vocoder_optimizer(args.learning_rate, clip_norm=1.0,
                                      halve_every=200_000)
         state = create_vocoder_state(key, params, opt)
+        def synth_on_best(state, epoch):
+            # reference flow train.py:290-295: write a sample whenever a
+            # new best checkpoint is saved
+            if eval_loader is None:
+                return
+            batch = next(iter(eval_loader))
+            mel = jnp.asarray(batch["c"][:1])
+            T = mel.shape[1] * 256
+            z = 0.8 * jax.random.normal(jax.random.PRNGKey(epoch), (1, T, 1))
+            wave = flowavenet_reverse(state.params, cfg, z, mel)
+            _write_wav(os.path.join(
+                args.checkpoint_dir,
+                f"generate_{args.model_name}_{epoch}.wav"),
+                np.asarray(wave)[0, :, 0])
+
         trainer = VocoderTrainer(
             make_flow_train_step(cfg, opt, mesh=mesh,
                                  compute_dtype=compute_dtype),
             state, loader, args.checkpoint_dir, args.model_name,
             eval_loader=eval_loader, eval_loss_fn=make_flow_eval_loss(cfg),
-            eval_on_ema=False)
+            eval_on_ema=False, on_best=synth_on_best)
         for epoch in range(args.epochs):
             trainer.train_epoch(epoch)
         return 0
