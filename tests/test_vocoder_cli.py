@@ -113,3 +113,27 @@ def test_example_serve_vocoder_flow(tmp_path):
     for i, n in enumerate((4, 3)):
         sr, audio = wavfile.read(os.path.join(out_dir, f"mel{i}.wav"))
         assert sr == 22050 and len(audio) == n * 256
+
+
+@pytest.mark.slow
+def test_cli_train_teacher_resume(tmp_path):
+    """--resume restores state + histories and continues from the next
+    epoch (reference --load_step, clarinet train.py:261-266)."""
+    import numpy as np
+    root = _mini_ljspeech(str(tmp_path))
+    data = os.path.join(root, "lj")
+    assert main(["preprocess", "--in_dir", root, "--out_dir", data]) == 0
+    ckpt_dir = os.path.join(root, "ckpt")
+    assert main(["train-teacher", "--data_root", data,
+                 "--checkpoint_dir", ckpt_dir, "--epochs", "2",
+                 "--batch_size", "2", "--tiny"]) == 0
+    hist1 = np.load(os.path.join(ckpt_dir, "teacher_train.npy"))
+    assert hist1.shape == (2,)
+    # resume from epoch-1 checkpoint, train to epoch 3
+    assert main(["train-teacher", "--data_root", data,
+                 "--checkpoint_dir", ckpt_dir, "--epochs", "3",
+                 "--batch_size", "2", "--tiny",
+                 "--resume", os.path.join(ckpt_dir, "teacher_1.pkl")]) == 0
+    hist2 = np.load(os.path.join(ckpt_dir, "teacher_train.npy"))
+    assert hist2.shape == (3,)
+    np.testing.assert_allclose(hist2[:2], hist1)

@@ -312,12 +312,36 @@ class VocoderTrainer:
             "ema_params": jax.device_get(self.state.ema_params),
             "opt_state": jax.device_get(self.state.opt_state),
             "step": int(self.state.step),
+            "rng": jax.device_get(self.state.rng),
+            "train_losses": list(self.train_losses),
+            "eval_losses": list(self.eval_losses),
+            "best_loss": float(min(self.best_loss, loss)
+                               if best else self.best_loss),
         }
         suffix = "best" if best else str(epoch)
         path = os.path.join(self._dir, f"{self._name}_{suffix}.pkl")
         with open(path, "wb") as f:
             pickle.dump(payload, f)
         return path
+
+
+def restore_vocoder_trainer(trainer, path):
+    """Resume a VocoderTrainer from a checkpoint (the reference's
+    --load_step path, clarinet train.py:261-266: restores model/optimizer/
+    EMA, the loss histories, and the running best test loss).  Returns the
+    next epoch to train."""
+    ckpt = load_vocoder_checkpoint(path)
+    as_jax = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    trainer.state = VocoderTrainState(
+        as_jax(ckpt["params"]), as_jax(ckpt["opt_state"]),
+        as_jax(ckpt["ema_params"]),
+        jnp.asarray(ckpt["step"], jnp.int32),
+        as_jax(ckpt["rng"]) if "rng" in ckpt else trainer.state.rng)
+    trainer.train_losses = list(ckpt.get("train_losses", []))
+    trainer.eval_losses = list(ckpt.get("eval_losses", []))
+    trainer.best_loss = float(ckpt.get(
+        "best_loss", min(trainer.eval_losses, default=np.inf)))
+    return int(ckpt["epoch"]) + 1
 
 
 def make_teacher_eval_loss(cfg):

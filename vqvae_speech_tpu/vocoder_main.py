@@ -34,6 +34,9 @@ def build_parser():
         tp.add_argument("--epochs", type=int, default=1000)
         tp.add_argument("--learning_rate", type=float, default=1e-3)
         tp.add_argument("--seed", type=int, default=0)
+        tp.add_argument("--resume", default=None,
+                        help="checkpoint .pkl to resume from (restores "
+                             "state, loss histories, best loss)")
         tp.add_argument("--bf16", action="store_true",
                         help="mixed precision: bf16 forward/backward, "
                              "f32 masters and losses")
@@ -83,7 +86,8 @@ def main(argv=None):
         make_vocoder_optimizer, create_vocoder_state, VocoderTrainer,
         make_teacher_train_step, make_student_train_step,
         make_flow_train_step, load_vocoder_checkpoint,
-        make_teacher_eval_loss, make_flow_eval_loss)
+        make_teacher_eval_loss, make_flow_eval_loss,
+        restore_vocoder_trainer)
     from vqvae_speech_tpu.models.clarinet import (
         GaussianWaveNetConfig, gaussian_wavenet_init,
         gaussian_wavenet_generate, gaussian_wavenet_upsample,
@@ -142,7 +146,9 @@ def main(argv=None):
                                  args.model_name, eval_loader=eval_loader,
                                  eval_loss_fn=make_teacher_eval_loss(cfg),
                                  eval_on_ema=True)
-        for epoch in range(args.epochs):
+        start = (restore_vocoder_trainer(trainer, args.resume)
+                 if args.resume else 0)
+        for epoch in range(start, args.epochs):
             trainer.train_epoch(epoch)
         return 0
 
@@ -160,7 +166,9 @@ def main(argv=None):
                                     kl_type=args.KL_type, mesh=mesh,
                                     compute_dtype=compute_dtype),
             state, loader, args.checkpoint_dir, args.model_name)
-        for epoch in range(args.epochs):
+        start = (restore_vocoder_trainer(trainer, args.resume)
+                 if args.resume else 0)
+        for epoch in range(start, args.epochs):
             trainer.train_epoch(epoch)
         return 0
 
@@ -197,7 +205,9 @@ def main(argv=None):
             state, loader, args.checkpoint_dir, args.model_name,
             eval_loader=eval_loader, eval_loss_fn=make_flow_eval_loss(cfg),
             eval_on_ema=False, on_best=synth_on_best)
-        for epoch in range(args.epochs):
+        start = (restore_vocoder_trainer(trainer, args.resume)
+                 if args.resume else 0)
+        for epoch in range(start, args.epochs):
             trainer.train_epoch(epoch)
         return 0
 
