@@ -344,6 +344,40 @@ def restore_vocoder_trainer(trainer, path):
     return int(ckpt["epoch"]) + 1
 
 
+def make_student_eval_loss(teacher_cfg, student_cfg, teacher_params,
+                           kl_type: str = "qp", stft_filter: int = 1024,
+                           stft_hop: int = 256):
+    """Jitted distillation test-loss (reference train_student.py
+    evaluate(): same KL+reg+frame objective on the test loader, with the
+    EMA-averaged student).  z is drawn from a fixed key so the gate is
+    deterministic across epochs."""
+    from vqvae_speech_tpu.models.clarinet import (
+        gaussian_wavenet_apply, gaussian_wavenet_upsample,
+        wavenet_student_apply)
+    from vqvae_speech_tpu.models.clarinet.loss import kl_loss, stft_frame_loss
+
+    t_params = jax.tree_util.tree_map(jnp.asarray, teacher_params)
+
+    @jax.jit
+    def loss(params, batch):
+        x, c = batch["x"], batch["c"]
+        z = jax.random.normal(jax.random.PRNGKey(0), x.shape)
+        c_up = gaussian_wavenet_upsample(t_params, c, teacher_cfg)
+        x_s, mu_s, logs_s = wavenet_student_apply(params, student_cfg, z,
+                                                  c_up)
+        mu_logs_t = gaussian_wavenet_apply(t_params, teacher_cfg, x_s, c)
+        mu_t, logs_t = mu_logs_t[:, :-1, 0:1], mu_logs_t[:, :-1, 1:2]
+        if kl_type == "pq":
+            total, _, _ = kl_loss(mu_t, logs_t, mu_s, logs_s)
+        else:
+            total, _, _ = kl_loss(mu_s, logs_s, mu_t, logs_t)
+        frame = stft_frame_loss(x_s[:, 1:, 0], x[:, 1:, 0],
+                                stft_filter, stft_hop)
+        return total + frame
+
+    return loss
+
+
 def make_teacher_eval_loss(cfg):
     """Jitted test-loss for the teacher (reference train.py:117-136:
     Gaussian NLL of the EMA model on the test loader)."""

@@ -87,7 +87,7 @@ def main(argv=None):
         make_teacher_train_step, make_student_train_step,
         make_flow_train_step, load_vocoder_checkpoint,
         make_teacher_eval_loss, make_flow_eval_loss,
-        restore_vocoder_trainer)
+        make_student_eval_loss, restore_vocoder_trainer)
     from vqvae_speech_tpu.models.clarinet import (
         GaussianWaveNetConfig, gaussian_wavenet_init,
         gaussian_wavenet_generate, gaussian_wavenet_upsample,
@@ -165,7 +165,11 @@ def main(argv=None):
             make_student_train_step(teacher_cfg, student_cfg, t_params, opt,
                                     kl_type=args.KL_type, mesh=mesh,
                                     compute_dtype=compute_dtype),
-            state, loader, args.checkpoint_dir, args.model_name)
+            state, loader, args.checkpoint_dir, args.model_name,
+            eval_loader=eval_loader,
+            eval_loss_fn=make_student_eval_loss(
+                teacher_cfg, student_cfg, t_params, kl_type=args.KL_type),
+            eval_on_ema=True)
         start = (restore_vocoder_trainer(trainer, args.resume)
                  if args.resume else 0)
         for epoch in range(start, args.epochs):
