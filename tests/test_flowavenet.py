@@ -102,6 +102,53 @@ def test_forward_logp_logdet_finite_and_mle_gradable():
                for g in jax.tree_util.tree_leaves(grads))
 
 
+def test_full_model_logdet_matches_unrolled_actnorm():
+    """Pin the scan-based forward's total logdet against an unrolled
+    computation that sums actnorm_forward's own logdet (which uses the
+    SQUEEZED time length at each depth, reference model.py:64-79) plus
+    the coupling logdets — with non-unit actnorm scales so a wrong length
+    factor cannot hide."""
+    from vqvae_speech_tpu.models.flowavenet.model import (
+        _block_channels, _flow_net_cfg, _coupling_forward, _change_order,
+        flowavenet_upsample)
+
+    params = flowavenet_init(jax.random.PRNGKey(0), SMALL)
+    B, Tc = 2, 8
+    T = Tc * 4
+    x = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (B, T, 1))
+    c = jax.random.normal(jax.random.PRNGKey(2), (B, Tc, 6))
+    # force scales far from 1 (the bug-hiding value): data-dependent init
+    # can land near 1 for downstream flows, so perturb explicitly
+    params = actnorm_initialize(params, SMALL, x, c)
+    key = jax.random.PRNGKey(7)
+    for block in params["blocks"]:
+        for flow in block["flows"]:
+            key, sub = jax.random.split(key)
+            factor = jnp.exp(jax.random.uniform(
+                sub, flow["actnorm"]["scale"].shape, minval=-0.7, maxval=0.7))
+            flow["actnorm"]["scale"] = flow["actnorm"]["scale"] * factor
+            assert not np.allclose(np.asarray(flow["actnorm"]["scale"]), 1.0,
+                                   atol=0.05)
+
+    _, logdet = flowavenet_forward(params, SMALL, x, c)
+
+    c_up = flowavenet_upsample(params, c, SMALL)
+    out, cc = x, c_up
+    ref_logdet = 0.0
+    for i, block in enumerate(params["blocks"]):
+        in_ch, cin_ch = _block_channels(SMALL)[i]
+        net_cfg = _flow_net_cfg(SMALL, in_ch * 2, cin_ch * 2)
+        out, cc = _squeeze(out), _squeeze(cc)
+        for flow in block["flows"]:
+            out, det_a = actnorm_forward(flow["actnorm"], out)
+            out, det_c = _coupling_forward(flow["coupling"], net_cfg, out,
+                                           cc, SMALL.affine)
+            ref_logdet = ref_logdet + float(det_a) + float(det_c)
+            out, cc = _change_order(out, cc)
+    ref_logdet /= (B * T)
+    np.testing.assert_allclose(float(logdet), ref_logdet, rtol=1e-5)
+
+
 def test_multiscale_split_path():
     cfg = FlowavenetConfig(in_channel=1, cin_channel=6, n_block=4, n_flow=1,
                            n_layer=1, filter_size=8, block_per_split=2,

@@ -513,6 +513,36 @@ def test_tensor_parallel_decode_2way_with_speakers():
     np.testing.assert_array_equal(np.asarray(tp_emit), np.asarray(ref_emit))
 
 
+def test_prepare_tp_decode_caches_compiled_program_per_bucket():
+    """The serving path's contract: repeated launches at the same (T, B)
+    reuse ONE compiled program (weights prepared once, no per-call
+    shard_map/jit rebuild — the round-2 advisor finding)."""
+    from vqvae_speech_tpu.models.wavenet.model import (
+        WaveNetConfig, wavenet_init)
+    from vqvae_speech_tpu.parallel.tp_decode import prepare_tp_decode
+
+    cfg = WaveNetConfig(out_channels=32, layers=3, stacks=1,
+                        residual_channels=8, gate_channels=16,
+                        skip_out_channels=8, kernel_size=2,
+                        cin_channels=4, gin_channels=-1,
+                        upsample_conditional_features=True,
+                        upsample_scales=(4,))
+    params = wavenet_init(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(num_data=1, num_model=8)
+    gen = prepare_tp_decode(params, cfg, mesh)
+
+    T = 16
+    c = jax.random.normal(jax.random.PRNGKey(1), (2, T // 4, 4))
+    _, e1 = gen(jax.random.PRNGKey(2), T, c=c)
+    assert len(gen.cache) == 1
+    _, e2 = gen(jax.random.PRNGKey(2), T, c=c)
+    assert len(gen.cache) == 1          # same bucket: no new program
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    _, _ = gen(jax.random.PRNGKey(2), T * 2,
+               c=jax.random.normal(jax.random.PRNGKey(3), (2, T // 2, 4)))
+    assert len(gen.cache) == 2          # new bucket: one more program
+
+
 def test_tensor_parallel_decode_int8_matches_single_chip_int8():
     """int8 x TP: per-column scales are permutation-equivariant, so the
     sharded int8 decode matches the single-chip int8 scan."""

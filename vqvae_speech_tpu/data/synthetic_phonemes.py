@@ -80,6 +80,176 @@ def build_phoneme_corpus(root, num_speakers=2, utts_per_speaker=8,
     return dset, phonemes
 
 
+# ---------------- rich (full-rank, speech-like) corpus ----------------
+#
+# The flat corpus above is LOW-RANK by construction: each phoneme is a fixed
+# 3-sinusoid chord varying only in phase, so MFCC trajectories are near
+# piecewise-constant and a wide encoder has a large null space to drift in
+# (round-2 postmortem: gradient-VQ latent drift at width >= 256).  The rich
+# generator below synthesizes source-filter speech-like segments instead:
+#
+# * voiced phonemes are an f0 harmonic series (per-speaker f0 base, a random
+#   per-utterance declination contour + vibrato) shaped by a formant
+#   resonance envelope (Peterson-Barney-ish targets),
+# * per-SEGMENT formant jitter (+-8%) and per-SPEAKER vocal-tract scaling
+#   (+-8%) give full-rank within-class variation,
+# * fricatives are band-shaped noise with jittered band edges, nasals a
+#   damped low-formant series,
+# * every segment gets a random attack/decay amplitude envelope + slow AM.
+#
+# 12-phoneme inventory; same corpus tree + TextGrid contract as the flat
+# generator, so the entire export/align/cluster gate runs unchanged.
+
+# voiced vowels: (F1, F2, F3) Hz formant targets
+VOWEL_FORMANTS = {
+    "AA": (700, 1220, 2600),
+    "AE": (660, 1720, 2410),
+    "AO": (570, 840, 2410),
+    "EH": (530, 1840, 2480),
+    "ER": (490, 1350, 1690),
+    "IH": (390, 1990, 2550),
+    "IY": (270, 2290, 3010),
+    "UH": (440, 1020, 2240),
+    "UW": (300, 870, 2240),
+}
+# nasal: low F1, heavily damped upper structure
+NASAL_FORMANTS = {"NN": (250, 1000, 2200)}
+# fricatives: noise band (lo, hi) Hz
+FRICATIVE_BANDS = {"SH": (1800, 5200), "SS": (3800, 7600)}
+
+RICH_PHONEMES = (list(VOWEL_FORMANTS) + list(NASAL_FORMANTS)
+                 + list(FRICATIVE_BANDS))
+
+
+def _formant_envelope(freqs, formants, bws, amps):
+    """Resonance-bump spectral envelope evaluated at ``freqs``."""
+    env = np.zeros_like(freqs, dtype=np.float64)
+    for f0, bw, a in zip(formants, bws, amps):
+        env += a / (1.0 + ((freqs - f0) / (bw / 2.0)) ** 2)
+    return env
+
+
+def _voiced_segment(formants, dur, rate, rng, f0_start, f0_end,
+                    damped=False):
+    """Harmonic series at a gliding f0, shaped by the formant envelope."""
+    t = np.arange(dur) / rate
+    # linear f0 glide + 5 Hz vibrato; phase = 2*pi*integral(f0)
+    f0_t = np.linspace(f0_start, f0_end, dur)
+    f0_t = f0_t * (1.0 + 0.01 * np.sin(2 * np.pi * 5.0 * t
+                                       + rng.uniform(0, 2 * np.pi)))
+    phase0 = 2 * np.pi * np.cumsum(f0_t) / rate
+    n_harm = int((rate / 2 - 200) // max(f0_start, f0_end))
+    n_harm = max(3, min(n_harm, 40))
+    harm_idx = np.arange(1, n_harm + 1)
+    mean_f0 = 0.5 * (f0_start + f0_end)
+    bws = [80.0, 120.0, 180.0]
+    amps = [1.0, 0.6, 0.3]
+    if damped:
+        amps = [1.0, 0.25, 0.1]
+    env = _formant_envelope(harm_idx * mean_f0, formants, bws, amps)
+    env = env / max(env.max(), 1e-6)
+    # gentle spectral tilt, stronger for damped (nasal) timbres
+    env = env * (harm_idx.astype(np.float64) **
+                 (-0.5 if not damped else -1.0))
+    sig = np.zeros(dur)
+    for k, a in zip(harm_idx, env):
+        if a < 1e-4:
+            continue
+        sig += a * np.sin(k * phase0 + rng.uniform(0, 2 * np.pi))
+    return sig
+
+
+def _fricative_segment(band, dur, rate, rng):
+    """FFT band-shaped noise with soft (raised-cosine) band edges."""
+    noise = rng.standard_normal(dur)
+    spec = np.fft.rfft(noise)
+    freqs = np.fft.rfftfreq(dur, 1.0 / rate)
+    lo, hi = band
+    roll = 300.0
+    gain = np.clip((freqs - (lo - roll)) / roll, 0, 1) * \
+        np.clip(((hi + roll) - freqs) / roll, 0, 1)
+    return np.fft.irfft(spec * gain, dur)
+
+
+def _rich_segment(name, dur, rate, rng, spk, noise=0.01):
+    """One phoneme segment with per-segment formant/band jitter and a
+    random amplitude envelope."""
+    if name in FRICATIVE_BANDS:
+        lo, hi = FRICATIVE_BANDS[name]
+        j = rng.uniform(0.9, 1.1, 2)
+        sig = _fricative_segment((lo * j[0], min(hi * j[1], rate / 2 - 200)),
+                                 dur, rate, rng)
+    else:
+        damped = name in NASAL_FORMANTS
+        base = (NASAL_FORMANTS if damped else VOWEL_FORMANTS)[name]
+        formants = [f * spk["vt_scale"] * rng.uniform(0.92, 1.08)
+                    for f in base]
+        f0a = spk["f0"] * rng.uniform(0.85, 1.15)
+        f0b = f0a * rng.uniform(0.85, 1.05)   # mild declination
+        sig = _voiced_segment(formants, dur, rate, rng, f0a, f0b,
+                              damped=damped)
+    sig = sig * (0.8 / max(np.abs(sig).max(), 1e-6))
+    # random attack/decay envelope + slow AM
+    atk = int(rng.uniform(0.1, 0.35) * dur)
+    dec = int(rng.uniform(0.1, 0.35) * dur)
+    env = np.ones(dur)
+    if atk > 0:
+        env[:atk] = np.linspace(0.2, 1.0, atk)
+    if dec > 0:
+        env[-dec:] = np.linspace(1.0, 0.3, dec)
+    am = 1.0 + 0.15 * np.sin(2 * np.pi * rng.uniform(2, 8)
+                             * np.arange(dur) / rate
+                             + rng.uniform(0, 2 * np.pi))
+    level = rng.uniform(0.5, 1.0)
+    return sig * env * am * level + noise * rng.standard_normal(dur)
+
+
+def build_rich_phoneme_corpus(root, num_speakers=8, utts_per_speaker=50,
+                              utt_seconds=0.6, rate=16000, seed=0):
+    """Full-rank speech-like corpus; same tree/TextGrid contract as
+    ``build_phoneme_corpus``.  Returns (dset_path, phonemes list)."""
+    rng = np.random.default_rng(seed)
+    dset = os.path.join(root, "raw", "VCTK-Corpus")
+    for s in range(num_speakers):
+        spk_name = f"p{300 + s}"
+        spk = {
+            "f0": rng.uniform(90, 230),
+            "vt_scale": rng.uniform(0.92, 1.08),
+        }
+        wav_dir = os.path.join(dset, "wav48", spk_name)
+        tg_dir = os.path.join(dset, "phonemes", spk_name)
+        txt_dir = os.path.join(dset, "txt", spk_name)
+        for d in (wav_dir, tg_dir, txt_dir):
+            os.makedirs(d, exist_ok=True)
+        for u in range(utts_per_speaker):
+            name = f"{spk_name}_{u:03d}"
+            total = int(utt_seconds * rate)
+            segs, marks = [], []
+            pos = 0
+            while pos < total:
+                ph = RICH_PHONEMES[rng.integers(len(RICH_PHONEMES))]
+                dur = int(rng.uniform(0.07, 0.18) * rate)
+                dur = min(dur, total - pos)
+                seg = _rich_segment(ph, dur, rate, rng, spk)
+                # short crossfade-ish ramps to avoid clicks
+                ramp = min(60, dur // 4)
+                if ramp > 0:
+                    seg[:ramp] *= np.linspace(0, 1, ramp)
+                    seg[-ramp:] *= np.linspace(1, 0, ramp)
+                segs.append(seg)
+                marks.append((pos / rate, (pos + dur) / rate, ph))
+                pos += dur
+            sig = np.concatenate(segs)
+            sig = sig / max(np.abs(sig).max(), 1e-6) * 0.85
+            wavfile.write(os.path.join(wav_dir, name + ".wav"), rate,
+                          (np.clip(sig, -1, 1) * 32767).astype(np.int16))
+            _write_textgrid(os.path.join(tg_dir, name + ".TextGrid"),
+                            marks, total / rate)
+            with open(os.path.join(txt_dir, name + ".txt"), "w") as f:
+                f.write(" ".join(m[2] for m in marks) + "\n")
+    return dset, list(RICH_PHONEMES)
+
+
 def _write_textgrid(path, marks, xmax):
     lines = [
         'File type = "ooTextFile"', 'Object class = "TextGrid"', "",

@@ -292,9 +292,13 @@ def flowavenet_forward(params, cfg: FlowavenetConfig, x, c,
         sq, sqc = in_ch * 2, cin_ch * 2
         net_cfg = _flow_net_cfg(cfg, sq, sqc)
         out, c = _squeeze(out), _squeeze(c)
-        # ActNorm logdet is a pure function of the (f32 master) scales
+        # ActNorm logdet is a pure function of the (f32 master) scales and
+        # the SQUEEZED time length at this depth (T / 2^(i+1)): the reference
+        # computes ``torch.sum(log_abs) * B * T`` with T = x.size(2) AFTER
+        # the block's squeeze (model.py:64-79 + forward at 245-257).
+        T_sq = out.shape[1]
         for flow32 in params["blocks"][i]["flows"]:
-            logdet_sum = logdet_sum + B * T * jnp.sum(
+            logdet_sum = logdet_sum + B * T_sq * jnp.sum(
                 jnp.log(jnp.abs(flow32["actnorm"]["scale"]))
             ).astype(jnp.float32)
 

@@ -219,6 +219,7 @@ class BucketedSynthesisServer:
                     "tensor-parallel decode serves greedy streams; "
                     "sampling is not wired")
         self._launches = 0
+        self._tp_generate = None  # built lazily, cached across launches
         factor = 1
         if cfg.upsample_conditional_features:
             for s in cfg.upsample_scales:
@@ -262,12 +263,19 @@ class BucketedSynthesisServer:
                         g[row] = speaker_ids[i]
                 if (self._mesh is not None
                         and self._mesh.shape.get("model", 1) > 1):
-                    from vqvae_speech_tpu.parallel.tp_decode import (
-                        wavenet_incremental_generate_tp)
-                    _, emitted = wavenet_incremental_generate_tp(
-                        self._params, self._cfg, jax.random.PRNGKey(seed),
-                        T, self._mesh, c=c, g=g, sample=False,
-                        weight_quant=self._weight_quant)
+                    # prepare_tp_decode hoists the host-side weight
+                    # permute/quantize and caches one compiled program per
+                    # (T, B) — re-preparing per launch would recompile
+                    # every call and defeat the per-bucket contract
+                    if self._tp_generate is None:
+                        from vqvae_speech_tpu.parallel.tp_decode import (
+                            prepare_tp_decode)
+                        self._tp_generate = prepare_tp_decode(
+                            self._params, self._cfg, self._mesh,
+                            weight_quant=self._weight_quant)
+                    _, emitted = self._tp_generate(
+                        jax.random.PRNGKey(seed), T, c=c, g=g,
+                        sample=False)
                 else:
                     _, emitted = wavenet_incremental_generate(
                         self._params, self._cfg, jax.random.PRNGKey(seed),

@@ -294,9 +294,14 @@ class VocoderTrainer:
                 np.asarray(self.train_losses))
         np.save(os.path.join(self._dir, f"{self._name}.npy"),
                 np.asarray(self.eval_losses))
-        self.save(epoch, avg)
-        if gate < self.best_loss:
+        # run the gate comparison BEFORE the per-epoch save so the epoch
+        # checkpoint records this epoch's best_loss (a resume from it must
+        # not let a later, worse epoch overwrite {name}_best.pkl)
+        new_best = gate < self.best_loss
+        if new_best:
             self.best_loss = gate
+        self.save(epoch, avg)
+        if new_best:
             self.save(epoch, gate, best=True)
             if self._on_best is not None:
                 # reference: synthesize a sample whenever a new best is
