@@ -72,11 +72,13 @@ BASE_CFG = dict(
 WIDTH_SPECS = {
     24: dict(batch_size=4, learning_rate=1e-3, num_hiddens=24,
              residual_channels=24, embedding_dim=8, num_embeddings=8,
-             use_jitter=True),
+             use_jitter=True, epochs=60),
     256: dict(batch_size=16, learning_rate=2e-4, num_hiddens=256,
-              residual_channels=256, embedding_dim=64, num_embeddings=8),
+              residual_channels=256, embedding_dim=64, num_embeddings=8,
+              epochs=40),
     768: dict(batch_size=16, learning_rate=2e-4, num_hiddens=768,
-              residual_channels=768, embedding_dim=64, num_embeddings=44),
+              residual_channels=768, embedding_dim=64, num_embeddings=44,
+              epochs=40),
 }
 
 
@@ -326,7 +328,8 @@ def main():
     ap.add_argument("--root", default="quality_parity")
     ap.add_argument("--widths", default="24,256,768")
     ap.add_argument("--seeds", default="1234,5678,4242")
-    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="override the per-width epoch defaults")
     ap.add_argument("--skip-torch", action="store_true")
     ap.add_argument("--skip-jax", action="store_true")
     args = ap.parse_args()
@@ -356,11 +359,13 @@ def main():
         FeatureStore(store_root), "val", cfg0, results_path,
         os.path.join(root, "raw", "VCTK-Corpus", "phonemes"))
 
-    summary = {"corpus": CORPUS, "epochs": args.epochs, "widths": {}}
+    summary = {"corpus": CORPUS, "widths": {}}
     for w in widths:
         cfg = dict(cfg0)
         cfg.update(WIDTH_SPECS[w])
-        wsum = {}
+        epochs = args.epochs or cfg.pop("epochs")
+        cfg.pop("epochs", None)
+        wsum = {"epochs": epochs}
         for seed in seeds:
             entry = {}
             for side, runner, skip in (
@@ -371,7 +376,7 @@ def main():
                 name = f"{side}-w{w}-seed{seed}"
                 t0 = time.time()
                 e_hist, p_hist = runner(cfg, store_root, results_path,
-                                        name, seed, args.epochs)
+                                        name, seed, epochs)
                 scores = compute_clustering_metrics(
                     results_path, name, "val", cfg)
                 entry[side] = {

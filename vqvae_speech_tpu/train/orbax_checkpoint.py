@@ -61,7 +61,12 @@ def latest_checkpoint_epoch_orbax(experiments_path: str,
 
 
 def load_checkpoint_orbax(experiments_path: str, experiment_name: str,
-                          epoch: int = None):
+                          epoch: int = None, target=None):
+    """Restore a checkpoint.  ``target`` (optional) is an abstract payload
+    pytree of ``jax.ShapeDtypeStruct`` leaves carrying ``sharding`` — the
+    multi-chip resume path: each host/device restores its shards directly to
+    the requested mesh placement instead of round-tripping through host
+    memory (this is what the pickle backend cannot do)."""
     import orbax.checkpoint as ocp
 
     if epoch is None:
@@ -72,9 +77,21 @@ def load_checkpoint_orbax(experiments_path: str, experiment_name: str,
                 f"no orbax checkpoints for '{experiment_name}'")
     mgr = _manager(experiments_path, experiment_name)
     restored = mgr.restore(epoch, args=ocp.args.Composite(
-        state=ocp.args.StandardRestore(),
+        state=ocp.args.StandardRestore(target),
         meta=ocp.args.JsonRestore()))
     mgr.close()
     out = dict(restored["meta"])
     out.update(restored["state"])
     return out
+
+
+def sharded_restore_target(tree, sharding):
+    """Abstract restore target pinning every floating/array leaf of ``tree``
+    to ``sharding`` (e.g. ``NamedSharding(mesh, P())`` for replicated DP
+    state)."""
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda v: jax.ShapeDtypeStruct(jax.numpy.shape(v),
+                                       jax.numpy.asarray(v).dtype,
+                                       sharding=sharding), tree)
