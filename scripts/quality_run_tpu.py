@@ -31,7 +31,8 @@ sys.path.insert(0, REPO_ROOT)
 import numpy as np
 import yaml
 
-from vqvae_speech_tpu.data.synthetic_phonemes import build_phoneme_corpus
+from vqvae_speech_tpu.data.synthetic_phonemes import (
+    build_phoneme_corpus, build_rich_phoneme_corpus)
 from vqvae_speech_tpu.data.vctk import VCTK
 from vqvae_speech_tpu.data.export import export_to_features
 from vqvae_speech_tpu.data.feature_store import FeatureStore, compute_dataset_stats
@@ -91,13 +92,35 @@ WIDE = dict(
                    num_embeddings=8, num_workers=8),
 )
 
+# The FLAGSHIP gate (round-3): the reference's actual results-table model —
+# width 768, 44 codes, dim 64, lr 2e-4 (configurations/vctk_features.yaml +
+# experiments_vq44-mfcc39.json), with jitter12 (the reference's best row) —
+# on the RICH corpus (data/synthetic_phonemes.py:build_rich_phoneme_corpus:
+# source-filter harmonic synthesis, f0 contours, formant jitter; full-rank
+# MFCC trajectories).  The flat corpus's low-rank MFCCs leave a wide encoder
+# a null space to drift in (round-2 postmortem + quality_parity head-to-head);
+# speech-like variation closes it, which is exactly the regime the
+# reference's real-VCTK artifacts prove for its width-768 model.
+FLAGSHIP = dict(
+    corpus=dict(num_speakers=8, utts_per_speaker=50, utt_seconds=0.6),
+    corpus_builder="rich",
+    ratio=0.9,
+    seeds=(1234, 5678, 4242),
+    overrides=dict(num_epochs=40, batch_size=16, learning_rate=2e-4,
+                   num_hiddens=768, residual_channels=768, embedding_dim=64,
+                   num_embeddings=44, num_workers=8, use_jitter=True),
+)
+
 
 def run(root, spec, name):
     from vqvae_speech_tpu.train import Experiments
 
     os.makedirs(root, exist_ok=True)
     t0 = time.time()
-    build_phoneme_corpus(root, **spec["corpus"])
+    builder = (build_rich_phoneme_corpus
+               if spec.get("corpus_builder") == "rich"
+               else build_phoneme_corpus)
+    builder(root, **spec["corpus"])
     vctk = VCTK(root, ratio=spec["ratio"], shuffle_seed=0)
 
     cfg = dict(BASE_CFG)
@@ -173,12 +196,32 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--wide", action="store_true",
                     help="also run the width-256 config at the reference lr")
+    ap.add_argument("--flagship", action="store_true",
+                    help="run ONLY the flagship 768/44 gate on the rich "
+                         "corpus (skip the width-24 smoke)")
+    ap.add_argument("--seeds", default=None,
+                    help="comma-separated seed override (flagship probing)")
+    ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--root", default="quality_run")
     args = ap.parse_args()
     # The reference trains in true f32 (CUDA); TPU's default matmul precision
     # is bf16-class, which measurably changes small-model trajectories.
     import jax
     jax.config.update("jax_default_matmul_precision", "highest")
+    if args.flagship:
+        spec = dict(FLAGSHIP)
+        if args.seeds:
+            spec["seeds"] = tuple(int(s) for s in args.seeds.split(","))
+        if args.epochs:
+            spec["overrides"] = dict(spec["overrides"],
+                                     num_epochs=args.epochs)
+        root = (args.root if args.root != "quality_run"
+                else "quality_run_flagship")
+        summary = run(root, spec, "phonemes_flagship")
+        med = summary["median_scores"]
+        assert med["adjusted_rand_score"] > 0.01, summary
+        assert med["adjusted_mutual_info_score"] > 0.0229, summary
+        return
     summary = run(args.root, PINNED, "phonemes")
     med = summary["median_scores"]
     # gate: median across seeds materially above chance (random labels give
