@@ -1,0 +1,123 @@
+"""Fused gated-resblock chain (Pallas prototype) for batch-1 IAF synthesis.
+
+VERDICT round-2 item #7: RESULTS.md estimates the ClariNet IAF student's
+batch-1 synthesis at ~34% MFU, "bounded by the K=128 contraction and the
+VPU-side gates/adds between convs" — an architecture-bound claim that was
+estimated, not measured.  This kernel is the measurement instrument: ONE
+``pallas_call`` runs an entire 6-layer gated resblock chain (dilated
+filter/gate convs + conditioning projections + tanh*sigmoid + res/skip
+1x1s) with every weight and activation resident in VMEM, so the only HBM
+traffic is the chain's input/output.  If the estimate is right, this
+kernel can NOT materially beat the XLA conv chain; if launch overhead or
+inter-conv HBM traffic was the real bound, it will.
+
+Layout: batch 1, channels-last (T, C).  The time tile must fit VMEM whole
+(no halo grid — prototype measures the fusion ceiling, not a production
+tiling).  Dilated causal convs are computed as tap-shifted matmuls:
+y[t] = sum_j x[t - (k-1-j)*d] @ w[j], left zero-padded exactly like
+``modules.conv_apply``'s causal path.
+
+Reference structure being fused: src/clarinet/modules.py:62-98 (ResBlock)
+as stacked in src/clarinet/wavenet_iaf.py:30-126.
+"""
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from vqvae_speech_tpu.nn.conv import conv_weight
+
+
+def stack_block_weights(block_params, compute_dtype=jnp.bfloat16):
+    """Stack one chain's resblock params (list of modules.resblock_init
+    trees, length L) into dense arrays for the kernel.  Weight-norm is
+    resolved here (host side, once)."""
+    def w(p):
+        return conv_weight(p).astype(compute_dtype)
+
+    wf = jnp.stack([w(p["filter_conv"]) for p in block_params])   # (L,k,C,G)
+    wg = jnp.stack([w(p["gate_conv"]) for p in block_params])
+    wfc = jnp.stack([w(p["filter_conv_c"])[0] for p in block_params])
+    wgc = jnp.stack([w(p["gate_conv_c"])[0] for p in block_params])
+    wres = jnp.stack([w(p["res_conv"])[0] for p in block_params])  # (L,G,C)
+    wskip = jnp.stack([w(p["skip_conv"])[0] for p in block_params])
+    bf = jnp.stack([(p["filter_conv"]["b"] + p["filter_conv_c"]["b"])
+                    for p in block_params]).astype(jnp.float32)
+    bg = jnp.stack([(p["gate_conv"]["b"] + p["gate_conv_c"]["b"])
+                    for p in block_params]).astype(jnp.float32)
+    bres = jnp.stack([p["res_conv"]["b"] for p in block_params]).astype(
+        jnp.float32)
+    bskip = jnp.stack([p["skip_conv"]["b"] for p in block_params]).astype(
+        jnp.float32)
+    return dict(wf=wf, wg=wg, wfc=wfc, wgc=wgc, wres=wres, wskip=wskip,
+                bf=bf, bg=bg, bres=bres, bskip=bskip)
+
+
+def _shift_down(x, lag):
+    """x[t] <- x[t - lag], zeros for t < lag (causal left pad)."""
+    if lag == 0:
+        return x
+    return jnp.concatenate(
+        [jnp.zeros((lag, x.shape[1]), x.dtype), x[:-lag]], axis=0)
+
+
+def _chain_kernel(x_ref, c_ref, wf_ref, wg_ref, wfc_ref, wgc_ref,
+                  wres_ref, wskip_ref, bf_ref, bg_ref, bres_ref, bskip_ref,
+                  xout_ref, skip_ref, *, layers, kernel_size, dilations):
+    f32 = jnp.float32
+    x = x_ref[:]
+    c = c_ref[:]
+    dtype = x.dtype
+    skip = jnp.zeros(skip_ref.shape, f32)
+    sqrt_half = jnp.asarray(math.sqrt(0.5), f32)
+    for l in range(layers):
+        d = dilations[l]
+        hf = (jnp.dot(c, wfc_ref[l], preferred_element_type=f32)
+              + bf_ref[l])
+        hg = (jnp.dot(c, wgc_ref[l], preferred_element_type=f32)
+              + bg_ref[l])
+        for j in range(kernel_size):
+            lag = (kernel_size - 1 - j) * d
+            xs = _shift_down(x, lag)
+            hf = hf + jnp.dot(xs, wf_ref[l, j], preferred_element_type=f32)
+            hg = hg + jnp.dot(xs, wg_ref[l, j], preferred_element_type=f32)
+        out = (jnp.tanh(hf) * jax.nn.sigmoid(hg)).astype(dtype)
+        skip = skip + (jnp.dot(out, wskip_ref[l],
+                               preferred_element_type=f32) + bskip_ref[l])
+        res = jnp.dot(out, wres_ref[l], preferred_element_type=f32) \
+            + bres_ref[l]
+        x = ((x.astype(f32) + res) * sqrt_half).astype(dtype)
+    xout_ref[:] = x
+    skip_ref[:] = skip
+
+
+@functools.partial(jax.jit, static_argnames=("layers", "kernel_size",
+                                             "interpret"))
+def fused_block_chain(x, c_up, stacked, layers=6, kernel_size=3,
+                      interpret=False):
+    """Run one fused L-layer gated resblock chain.
+
+    x: (T, C_res) activation (batch-1, channels-last, bf16 recommended);
+    c_up: (T, cin) upsampled conditioning; stacked: stack_block_weights().
+    Returns (new_x (T, C_res), skip_sum (T, C_skip) f32).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, C = x.shape
+    S = stacked["wskip"].shape[-1]
+    dilations = tuple(kernel_size ** (i % layers) for i in range(layers))
+    kernel = functools.partial(_chain_kernel, layers=layers,
+                               kernel_size=kernel_size, dilations=dilations)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[vmem] * 12,
+        out_specs=(vmem, vmem),
+        out_shape=(jax.ShapeDtypeStruct((T, C), x.dtype),
+                   jax.ShapeDtypeStruct((T, S), jnp.float32)),
+        interpret=interpret,
+    )(x, c_up, stacked["wf"], stacked["wg"], stacked["wfc"], stacked["wgc"],
+      stacked["wres"], stacked["wskip"], stacked["bf"], stacked["bg"],
+      stacked["bres"], stacked["bskip"])
