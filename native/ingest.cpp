@@ -81,4 +81,79 @@ void pcm16_to_float(const int16_t* x, int64_t n, float* out) {
     for (int64_t i = 0; i < n; ++i) out[i] = x[i] * scale;
 }
 
+// Pitch-preserving WSOLA time stretch (mirrors
+// vqvae_speech_tpu/data/noise_injector.py:wsola_time_stretch — the
+// algorithm behind sox's `tempo` effect the reference shells out to,
+// reference src/dataset/spectrogram_parser.py:117-129).
+//
+// out must have room for (n_frames - 1) * (N/2) + N samples, where
+// N = round(win_ms * rate / 1000) rounded down to even (min 4) and
+// n_frames = max((int)((n - N - tol) / (N/2 * tempo)), 1).
+// Returns the produced length (after tail trim and target clamp),
+// or -1 when the input is returned unchanged (caller copies).
+int64_t wsola_time_stretch(const float* x, int64_t n, float tempo,
+                           int rate, float win_ms, float tol_ms,
+                           float* out) {
+    int N = (int)std::lround((double)win_ms * rate / 1000.0) & ~1;
+    if (N < 4) N = 4;
+    if (std::fabs(tempo - 1.0f) < 1e-6f || n <= N) return -1;
+    const int Hs = N / 2;
+    const double Ha = (double)Hs * tempo;
+    int tol = (int)std::lround((double)tol_ms * rate / 1000.0);
+    if (tol < 1) tol = 1;
+
+    int64_t n_frames = (int64_t)(((double)n - N - tol) / Ha);
+    if (n_frames < 1) n_frames = 1;
+    const int64_t out_len = (n_frames - 1) * Hs + N;
+
+    float* win = new float[N];
+    for (int i = 0; i < N; ++i)
+        win[i] = 0.5f - 0.5f * (float)std::cos(2.0 * M_PI * i / (N - 1));
+    float* norm = new float[out_len];
+    std::memset(norm, 0, out_len * sizeof(float));
+    std::memset(out, 0, out_len * sizeof(float));
+
+    int64_t seg_start = 0;
+    for (int i = 0; i < N; ++i) { out[i] = win[i] * x[i]; norm[i] = win[i]; }
+    for (int64_t k = 1; k < n_frames; ++k) {
+        const float* natural = x + seg_start + Hs;
+        // python int(round(k * Ha)) rounds half-to-even: nearbyint does
+        // too under the default FE_TONEAREST mode
+        const int64_t nominal = (int64_t)std::nearbyint(k * Ha);
+        int64_t lo = std::max<int64_t>(nominal - tol, 0);
+        int64_t hi = std::min<int64_t>(nominal + tol, n - N);
+        if (hi <= lo) {
+            seg_start = std::max<int64_t>(
+                std::min<int64_t>(nominal, n - N), 0);
+        } else {
+            double best = -1e300;
+            int64_t best_i = lo;
+            for (int64_t s = lo; s <= hi; ++s) {
+                double acc = 0.0;
+                const float* seg = x + s;
+                for (int i = 0; i < N; ++i) acc += (double)seg[i] * natural[i];
+                if (acc > best) { best = acc; best_i = s; }
+            }
+            seg_start = best_i;
+        }
+        const int64_t pos = k * Hs;
+        const float* seg = x + seg_start;
+        for (int i = 0; i < N; ++i) {
+            out[pos + i] += win[i] * seg[i];
+            norm[pos + i] += win[i];
+        }
+    }
+    int64_t covered = -1;
+    for (int64_t i = 0; i < out_len; ++i) {
+        out[i] /= std::max(norm[i], 1e-6f);
+        if (norm[i] >= 0.1f) covered = i;
+    }
+    delete[] win;
+    delete[] norm;
+    int64_t produced = covered + 1;
+    const int64_t target = (int64_t)std::nearbyint((double)n / tempo);
+    if (target < produced) produced = target;
+    return produced;
+}
+
 }  // extern "C"

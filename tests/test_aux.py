@@ -95,6 +95,37 @@ def test_wsola_identity_and_continuity():
     assert len(wsola_time_stretch(np.zeros(0, np.float32), 1.2, sr)) == 0
 
 
+def test_wsola_native_matches_numpy():
+    """The C++ WSOLA (native/ingest.cpp) is the same algorithm as the
+    numpy implementation; outputs must agree to float tolerance on
+    speech-like signals across tempos (argmax searches can only differ at
+    exact correlation ties, which these signals do not produce)."""
+    from vqvae_speech_tpu.native import (
+        available, wsola_time_stretch_native)
+    from vqvae_speech_tpu.data.noise_injector import wsola_time_stretch
+
+    if not available():
+        import pytest
+        pytest.skip("native lib unavailable (g++ missing)")
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    t = np.arange(int(sr * 0.8)) / sr
+    # speech-like: gliding harmonic + noise floor
+    f0 = 150 * (1 + 0.2 * t)
+    phase = 2 * np.pi * np.cumsum(f0) / sr
+    x = (0.5 * np.sin(phase) + 0.2 * np.sin(2 * phase)
+         + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+
+    for tempo in (0.85, 0.95, 1.1, 1.15):
+        got = wsola_time_stretch_native(x, tempo, sr)
+        want = wsola_time_stretch(x, tempo, sr, use_native=False)
+        assert got.shape == want.shape, (tempo, got.shape, want.shape)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # identity + tiny input fall-throughs
+    np.testing.assert_array_equal(wsola_time_stretch_native(x, 1.0, sr), x)
+
+
 def test_spectrogram_dataset(tmp_path):
     wav_path = str(tmp_path / "a.wav")
     txt_path = str(tmp_path / "a.txt")

@@ -60,7 +60,8 @@ class NoiseInjector:
 
 
 def wsola_time_stretch(x, tempo: float, sample_rate: int = 16000,
-                       win_ms: float = 25.0, tol_ms: float = 7.5):
+                       win_ms: float = 25.0, tol_ms: float = 7.5,
+                       use_native: bool = True):
     """Pitch-preserving time stretch (WSOLA — the algorithm behind sox's
     `tempo` effect used by the reference, spectrogram_parser.py:117-129).
 
@@ -68,8 +69,17 @@ def wsola_time_stretch(x, tempo: float, sample_rate: int = 16000,
     Overlap-add of windowed analysis frames whose positions are searched
     within +-tol of the nominal grid to maximize cross-correlation with the
     natural continuation of the previous frame (waveform-similarity OLA).
-    Host-side preprocessing: numpy only, ~len/Hs correlation searches.
+    Host-side preprocessing; dispatches to the C++ implementation
+    (native/ingest.cpp:wsola_time_stretch) when built, falling back to the
+    numpy version below (same algorithm, parity-tested).
     """
+    if use_native:
+        from vqvae_speech_tpu.native import wsola_time_stretch_native
+
+        out = wsola_time_stretch_native(x, tempo, sample_rate, win_ms,
+                                        tol_ms)
+        if out is not None:
+            return out
     x = np.asarray(x, np.float32)
     N = max(int(round(win_ms * sample_rate / 1000.0)) & ~1, 4)  # even
     if abs(tempo - 1.0) < 1e-6 or len(x) <= N:

@@ -54,6 +54,11 @@ def _load():
         lib.peak_normalize.restype = ctypes.c_float
         lib.peak_normalize.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+        lib.wsola_time_stretch.restype = ctypes.c_int64
+        lib.wsola_time_stretch.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
+            ctypes.c_int, ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float)]
         _lib = lib
     except Exception:
         _lib = None
@@ -109,3 +114,28 @@ def peak_normalize(x: np.ndarray) -> np.ndarray:
         return x / peak if peak > 0 else x
     lib.peak_normalize(_fptr(x), x.size)
     return x
+
+
+def wsola_time_stretch_native(x: np.ndarray, tempo: float,
+                              sample_rate: int = 16000,
+                              win_ms: float = 25.0, tol_ms: float = 7.5):
+    """Native WSOLA; returns None when the native lib is unavailable (the
+    caller falls back to the numpy implementation in data/noise_injector)."""
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    N = max(int(round(win_ms * sample_rate / 1000.0)) & ~1, 4)
+    if abs(tempo - 1.0) < 1e-6 or x.size <= N:
+        return x.copy()
+    Hs = N // 2
+    Ha = Hs * tempo
+    tol = max(int(round(tol_ms * sample_rate / 1000.0)), 1)
+    n_frames = max(int((x.size - N - tol) / Ha), 1)
+    out = np.zeros((n_frames - 1) * Hs + N, np.float32)
+    produced = lib.wsola_time_stretch(
+        _fptr(x), x.size, ctypes.c_float(tempo), sample_rate,
+        ctypes.c_float(win_ms), ctypes.c_float(tol_ms), _fptr(out))
+    if produced < 0:
+        return x.copy()
+    return out[:produced]
