@@ -76,3 +76,71 @@ def test_codes_align_with_synthetic_phonemes(tmp_path):
     # baseline (ARI 0.034, BASELINE.md); random labels give |ARI| < 0.01.
     assert scores["adjusted_rand_score"] > 0.02, scores
     assert scores["normalized_mutual_info_score"] > 0.1, scores
+
+
+def test_rich_corpus_is_full_rank_and_class_separable(tmp_path):
+    """Premise of the flagship quality gate: the RICH corpus's MFCC frames
+    must be (a) substantially higher-rank than the flat corpus's (the
+    low-rank null space is what let wide gradient-VQ encoders drift,
+    round-2 postmortem) and (b) linearly separable by phoneme class (a
+    clustering signal must exist for the gate to measure)."""
+    from vqvae_speech_tpu.data.synthetic_phonemes import (
+        build_rich_phoneme_corpus, RICH_PHONEMES)
+    from vqvae_speech_tpu.ops import mfcc
+    import jax.numpy as jnp
+    from scipy.io import wavfile
+
+    def corpus_frames(builder, root):
+        dset, phonemes = builder(root, num_speakers=3, utts_per_speaker=6,
+                                 utt_seconds=0.6)
+        feats, labels = [], []
+        for spk in sorted(os.listdir(os.path.join(dset, "wav48"))):
+            for w in sorted(os.listdir(os.path.join(dset, "wav48", spk))):
+                key = w[:-4]
+                rate, x = wavfile.read(os.path.join(dset, "wav48", spk, w))
+                x = x.astype(np.float32) / 32767.0
+                m = np.asarray(mfcc(jnp.asarray(x, jnp.float64)))
+                # label frames from the txt marks via the TextGrid tier
+                tg = open(os.path.join(dset, "phonemes", spk,
+                                       key + ".TextGrid")).read()
+                marks = []
+                for block in tg.split("intervals [")[1:]:
+                    lines = block.splitlines()
+                    xmin = float(lines[1].split("=")[1])
+                    xmax = float(lines[2].split("=")[1])
+                    text = lines[3].split('"')[1]
+                    if text and text != "utt":
+                        marks.append((xmin, xmax, text))
+                for t in range(m.shape[0]):
+                    center = (t * 160 + 200) / rate
+                    for a, b, ph in marks:
+                        if a <= center < b:
+                            feats.append(m[t])
+                            labels.append(ph)
+                            break
+        return np.stack(feats), labels
+
+    rich_f, rich_l = corpus_frames(build_rich_phoneme_corpus,
+                                   str(tmp_path / "rich"))
+    flat_f, _ = corpus_frames(build_phoneme_corpus, str(tmp_path / "flat"))
+
+    def eff_rank(F):
+        F = F - F.mean(0)
+        s = np.linalg.svd(F, compute_uv=False)
+        p = s ** 2 / np.sum(s ** 2)
+        return float(np.exp(-np.sum(p * np.log(p + 1e-12))))
+
+    r_rich, r_flat = eff_rank(rich_f), eff_rank(flat_f)
+    assert r_rich > 1.5 * r_flat, (r_rich, r_flat)
+    assert r_rich > 4.0, r_rich
+
+    # class separability: nearest-centroid accuracy far above chance
+    classes = sorted(set(rich_l))
+    cents = np.stack([rich_f[[l == c for l in rich_l]].mean(0)
+                      for c in classes])
+    d = ((rich_f[:, None] - cents[None]) ** 2).sum(-1)
+    pred = np.argmin(d, 1)
+    truth = np.asarray([classes.index(l) for l in rich_l])
+    acc = float((pred == truth).mean())
+    assert acc > 3.0 / len(RICH_PHONEMES), acc  # >> chance (1/12)
+    assert acc > 0.4, acc
