@@ -202,6 +202,10 @@ def main():
     ap.add_argument("--seeds", default=None,
                     help="comma-separated seed override (flagship probing)")
     ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--speakers", type=int, default=None,
+                    help="flagship corpus speakers override")
+    ap.add_argument("--utts", type=int, default=None,
+                    help="flagship corpus utts-per-speaker override")
     ap.add_argument("--root", default="quality_run")
     args = ap.parse_args()
     # The reference trains in true f32 (CUDA); TPU's default matmul precision
@@ -215,6 +219,12 @@ def main():
         if args.epochs:
             spec["overrides"] = dict(spec["overrides"],
                                      num_epochs=args.epochs)
+        if args.speakers:
+            spec["corpus"] = dict(spec["corpus"],
+                                  num_speakers=args.speakers)
+        if args.utts:
+            spec["corpus"] = dict(spec["corpus"],
+                                  utts_per_speaker=args.utts)
         root = (args.root if args.root != "quality_run"
                 else "quality_run_flagship")
         summary = run(root, spec, "phonemes_flagship")
