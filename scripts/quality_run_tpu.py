@@ -106,9 +106,15 @@ FLAGSHIP = dict(
     corpus_builder="rich",
     ratio=0.9,
     seeds=(1234, 5678, 4242),
-    overrides=dict(num_epochs=40, batch_size=16, learning_rate=2e-4,
+    # the reference's EXACT flagship operating point: batch_size 2 (!),
+    # 15 epochs, lr 2e-4 (experiments_vq44-mfcc39.json:8-19 +
+    # vctk_features.yaml:12) with jitter12 (its best row).  Round-3 probes
+    # showed batch 16 (round-2's WIDE carry-over) drifts at width 768 even
+    # on the rich corpus; the reference never trains this model at batch 16.
+    overrides=dict(num_epochs=15, batch_size=2, learning_rate=2e-4,
                    num_hiddens=768, residual_channels=768, embedding_dim=64,
-                   num_embeddings=44, num_workers=8, use_jitter=True),
+                   num_embeddings=44, num_workers=8, use_jitter=True,
+                   jitter_probability=0.12),
 )
 
 
