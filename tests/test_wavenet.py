@@ -199,7 +199,14 @@ def test_wavenet_vqvae_composite():
 
 def test_int8_weight_quantized_decode_close_to_f32():
     """Weight-only int8 decode: logits track the f32 path closely and the
-    greedy sample streams mostly agree (quantization noise only)."""
+    SHORT-horizon greedy streams mostly agree.
+
+    Scope note (round-3 measurement, int8_fidelity/summary.json): this
+    gate bounds per-step quantization noise at a 48-sample horizon.  Over
+    long horizons AR trajectories diverge after the first argmax flip by
+    construction — the serving-fidelity claim is distributional (NLL of
+    the int8 stream under the f32 model within 0.012 nats of the f32
+    stream's on a trained model; RESULTS.md), not stream identity."""
     cfg = WaveNetConfig(out_channels=24, layers=6, stacks=2,
                         residual_channels=16, gate_channels=16,
                         skip_out_channels=16, kernel_size=3, dropout=0.0,
