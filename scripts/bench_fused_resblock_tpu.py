@@ -56,7 +56,9 @@ def main():
 
     stacked = stack_block_weights(blocks, compute_dtype=jnp.bfloat16)
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
     def run_xla(blocks, xb, cb, iters):
         def body(carry, _):
             h, s = xla_chain(blocks, carry, cb)
@@ -64,7 +66,7 @@ def main():
         out, sums = jax.lax.scan(body, xb, None, length=iters)
         return out, sums
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnames=("iters",))
     def run_fused(stacked, xb, cb, iters):
         def body(carry, _):
             h, s = fused_block_chain(carry, cb, stacked, layers=L,
@@ -91,12 +93,12 @@ def main():
              + G * C + G * S) * 2 * T)
     for name, fn, arg in (("xla", run_xla, bblocks),
                           ("fused", run_fused, stacked)):
-        out, sums = fn(arg, x, c, args.iters)
+        out, sums = fn(arg, x, c, iters=args.iters)
         float(jnp.sum(sums))  # warm/compile + fetch
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            out, sums = fn(arg, x, c, args.iters)
+            out, sums = fn(arg, x, c, iters=args.iters)
             float(jnp.sum(sums))
             best = min(best, time.perf_counter() - t0)
         us_per_chain = best / args.iters * 1e6

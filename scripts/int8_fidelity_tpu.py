@@ -37,7 +37,7 @@ sys.path.insert(0, REPO_ROOT)
 import numpy as np
 
 
-def make_tone_batch(rng, B, T, rate=16000):
+def make_tone_batch(rng, B, T, rate=16000, return_waves=False):
     """Synthetic 'speech': 2-formant harmonic tones with random f0 glides,
     amplitude envelopes and noise — mu-law encoded to int labels."""
     from vqvae_speech_tpu.ops.mu_law import mu_law_encode
@@ -54,10 +54,24 @@ def make_tone_batch(rng, B, T, rate=16000):
         w += 0.02 * rng.standard_normal(T + 1)
         waves.append(0.5 * w / np.abs(w).max())
     x = np.stack(waves).astype(np.float32)
-    return np.asarray(mu_law_encode(jnp.asarray(x)))      # (B, T+1) ints
+    labels = np.asarray(mu_law_encode(jnp.asarray(x)))    # (B, T+1) ints
+    return (labels, x) if return_waves else labels
 
 
-def train_small_wavenet(cfg, steps, B=8, T=4096, lr=5e-4, seed=0):
+def make_cond_batch(rng, B, T, rate=16000):
+    """(labels (B, T+1), mel (B, frames, 80)) — hop-256 log-mel of the
+    target audio as local conditioning (the vocoder serving shape)."""
+    from vqvae_speech_tpu.ops.mel import normalized_log_mel
+    import jax.numpy as jnp
+
+    labels, waves = make_tone_batch(rng, B, T, rate, return_waves=True)
+    mel = np.asarray(normalized_log_mel(jnp.asarray(waves[:, :-1]),
+                                        sr=rate), np.float32)
+    return labels, mel
+
+
+def train_small_wavenet(cfg, steps, B=8, T=4096, lr=5e-4, seed=0,
+                        conditioned=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -69,9 +83,9 @@ def train_small_wavenet(cfg, steps, B=8, T=4096, lr=5e-4, seed=0):
     opt_state = opt.init(params)
     rng = np.random.default_rng(seed)
 
-    def loss_fn(params, labels):
+    def loss_fn(params, labels, c):
         x = jax.nn.one_hot(labels[:, :-1], cfg.out_channels)
-        logits = wavenet_apply(params, cfg, x, training=True,
+        logits = wavenet_apply(params, cfg, x, c=c, training=True,
                                rng=jax.random.PRNGKey(0))
         logp = jax.nn.log_softmax(logits, axis=-1)
         tgt = labels[:, 1:]
@@ -79,21 +93,25 @@ def train_small_wavenet(cfg, steps, B=8, T=4096, lr=5e-4, seed=0):
         return jnp.mean(nll)
 
     @jax.jit
-    def step(params, opt_state, labels):
-        loss, grads = jax.value_and_grad(loss_fn)(params, labels)
+    def step(params, opt_state, labels, c):
+        loss, grads = jax.value_and_grad(loss_fn)(params, labels, c)
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     loss = None
     for i in range(steps):
-        labels = jnp.asarray(make_tone_batch(rng, B, T))
-        params, opt_state, loss = step(params, opt_state, labels)
+        if conditioned:
+            labels, mel = make_cond_batch(rng, B, T)
+            labels, mel = jnp.asarray(labels), jnp.asarray(mel)
+        else:
+            labels, mel = jnp.asarray(make_tone_batch(rng, B, T)), None
+        params, opt_state, loss = step(params, opt_state, labels, mel)
         if i % 100 == 0:
             print(f"  train step {i}: nll {float(loss):.4f}", flush=True)
     return params, float(loss)
 
 
-def teacher_forced_nll(params, cfg, labels):
+def teacher_forced_nll(params, cfg, labels, c=None):
     """Mean per-sample NLL of an int stream under the f32 model."""
     import jax
     import jax.numpy as jnp
@@ -101,7 +119,7 @@ def teacher_forced_nll(params, cfg, labels):
 
     labels = jnp.asarray(labels)
     x = jax.nn.one_hot(labels[:, :-1], cfg.out_channels)
-    logits = wavenet_apply(params, cfg, x, training=False)
+    logits = wavenet_apply(params, cfg, x, c=c, training=False)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, 1:][..., None], axis=-1)
     return float(jnp.mean(nll))
@@ -123,6 +141,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1200)
     ap.add_argument("--gen-t", type=int, default=3840)
+    ap.add_argument("--conditioned", action="store_true",
+                    help="mel-condition the model (hop-256 log-mel of the "
+                         "target) so MCD compares pinned trajectories")
     ap.add_argument("--out", default="int8_fidelity")
     args = ap.parse_args()
 
@@ -135,25 +156,40 @@ def main():
     from vqvae_speech_tpu.ops.mu_law import mu_law_decode
 
     t0 = time.time()
+    conditioned = args.conditioned
     cfg = WaveNetConfig(out_channels=256, layers=12, stacks=2,
                         residual_channels=128, gate_channels=128,
                         skip_out_channels=128, kernel_size=3, dropout=0.0,
-                        cin_channels=-1, gin_channels=-1)
-    print("training small mu-law WaveNet on tone corpus...", flush=True)
-    params, final_nll = train_small_wavenet(cfg, args.steps)
+                        cin_channels=80 if conditioned else -1,
+                        gin_channels=-1,
+                        upsample_conditional_features=conditioned,
+                        upsample_scales=(16, 16) if conditioned else None)
+    label = ("12L/128ch trained, mel-conditioned" if conditioned
+             else "12L/128ch trained")
+    print(f"training small mu-law WaveNet on tone corpus "
+          f"({label})...", flush=True)
+    params, final_nll = train_small_wavenet(cfg, args.steps,
+                                            conditioned=conditioned)
 
     T = args.gen_t
     summary = {"train_final_nll": round(final_nll, 4),
                "uniform_nll": round(float(np.log(256)), 4),
-               "gen_samples": T, "config": "12L/128ch trained",
+               "gen_samples": T, "config": label,
                "streams": {}}
+
+    # held-out conditioning: with mel pinned, f32/int8 trajectories stay on
+    # the same utterance and MCD measures degradation, not divergence
+    gen_c = None
+    if conditioned:
+        _, gen_mel = make_cond_batch(np.random.default_rng(999), 1, T)
+        gen_c = jnp.asarray(gen_mel)
 
     streams = {}
     for mode, sample in (("greedy", False), ("sampled", True)):
         for quant in (None, "int8"):
             outs, em = wavenet_incremental_generate(
-                params, cfg, jax.random.PRNGKey(42), T, sample=sample,
-                weight_quant=quant)
+                params, cfg, jax.random.PRNGKey(42), T, c=gen_c,
+                sample=sample, weight_quant=quant)
             key = f"{mode}_{quant or 'f32'}"
             streams[key] = (np.asarray(outs), np.asarray(em))
             print(f"  generated {key}", flush=True)
@@ -165,8 +201,8 @@ def main():
         cos = float(av @ bv / (np.linalg.norm(av) * np.linalg.norm(bv)
                                + 1e-12))
         agree = float(np.mean(a_em == b_em))
-        nll_f32 = teacher_forced_nll(params, cfg, a_em)
-        nll_int8 = teacher_forced_nll(params, cfg, b_em)
+        nll_f32 = teacher_forced_nll(params, cfg, a_em, c=gen_c)
+        nll_int8 = teacher_forced_nll(params, cfg, b_em, c=gen_c)
         wave_a = np.asarray(mu_law_decode(jnp.asarray(a_em)))[0]
         wave_b = np.asarray(mu_law_decode(jnp.asarray(b_em)))[0]
         summary["streams"][mode] = {
