@@ -68,8 +68,9 @@ def main():
 
     @functools.partial(jax.jit, static_argnames=("iters",))
     def run_fused(stacked, xb, cb, iters):
+        c2 = cb[0]                       # kernel is batch-1 (T, cin)
         def body(carry, _):
-            h, s = fused_block_chain(carry, cb, stacked, layers=L,
+            h, s = fused_block_chain(carry, c2, stacked, layers=L,
                                      kernel_size=k)
             return h, jnp.sum(s)
         out, sums = jax.lax.scan(body, xb[0], None, length=iters)
