@@ -81,6 +81,16 @@ WIDTH_SPECS = {
               epochs=40),
 }
 
+# The reference's EXACT flagship operating point (vctk_features.yaml:6,12 +
+# experiments_vq44-mfcc39.json: batch 2, 15 epochs, lr 2e-4, jitter12) —
+# the configuration scripts/quality_run_tpu.py --flagship grades on TPU.
+# Run with --existing-root <probe root> to train the torch twin on the very
+# features/normalizer/groundtruth that TPU run exported.
+FLAGSHIP_SPEC = dict(batch_size=2, learning_rate=2e-4, num_hiddens=768,
+                     residual_channels=768, embedding_dim=64,
+                     num_embeddings=44, use_jitter=True,
+                     jitter_probability=0.12, epochs=15)
+
 
 # ---------------- torch twin (reference training semantics) ----------------
 
@@ -332,37 +342,72 @@ def main():
                     help="override the per-width epoch defaults")
     ap.add_argument("--skip-torch", action="store_true")
     ap.add_argument("--skip-jax", action="store_true")
+    ap.add_argument("--flagship", action="store_true",
+                    help="run the reference's exact flagship operating "
+                         "point (batch 2, 15 epochs, jitter12) instead of "
+                         "the width sweep")
+    ap.add_argument("--existing-root", default=None,
+                    help="reuse an already-exported corpus root "
+                         "(features/, stats.pickle, results/ groundtruth) "
+                         "— e.g. the quality_run_tpu probe output, so both "
+                         "sides train on byte-identical features")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU platform (so a torch-only run "
+                         "never touches the TPU a concurrent job owns)")
     args = ap.parse_args()
     widths = [int(w) for w in args.widths.split(",")]
     seeds = [int(s) for s in args.seeds.split(",")]
 
     import jax
+    if args.cpu:
+        # the axon plugin overrides JAX_PLATFORMS=cpu; the config update
+        # must happen before first backend use (see tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
     # reference trains true-f32 CUDA; match it so trajectory deltas are
     # algorithmic, not matmul-precision artifacts
     jax.config.update("jax_default_matmul_precision", "highest")
 
-    root = args.root
-    os.makedirs(root, exist_ok=True)
-    build_phoneme_corpus(root, **CORPUS)
-    vctk = VCTK(root, ratio=RATIO, shuffle_seed=0)
-    cfg0 = dict(BASE_CFG)
-    cfg0["data_root"] = root
-    cfg0["normalizer_path"] = os.path.join(root, "stats.pickle")
-    store_root = os.path.join(root, "features")
-    export_to_features(vctk, store_root, cfg0, num_workers=8)
-    compute_dataset_stats(FeatureStore(store_root), cfg0["normalizer_path"])
-
     from vqvae_speech_tpu.eval.alignment_stats import (
         compute_groundtruth_alignments, compute_clustering_metrics)
-    results_path = os.path.join(root, "results")
-    compute_groundtruth_alignments(
-        FeatureStore(store_root), "val", cfg0, results_path,
-        os.path.join(root, "raw", "VCTK-Corpus", "phonemes"))
 
-    summary = {"corpus": CORPUS, "widths": {}}
-    for w in widths:
+    out_root = args.root
+    os.makedirs(out_root, exist_ok=True)
+    if args.existing_root:
+        import yaml
+        root = args.existing_root
+        with open(os.path.join(root, "base.yaml")) as f:
+            cfg0 = yaml.safe_load(f)
+        store_root = os.path.join(root, "features")
+        results_path = os.path.join(root, "results")
+        if not os.path.isfile(os.path.join(
+                results_path, "vctk_val_groundtruth_alignments.pickle")):
+            compute_groundtruth_alignments(
+                FeatureStore(store_root), "val", cfg0, results_path,
+                os.path.join(root, "raw", "VCTK-Corpus", "phonemes"))
+        corpus_desc = {"existing_root": root}
+    else:
+        root = out_root
+        build_phoneme_corpus(root, **CORPUS)
+        vctk = VCTK(root, ratio=RATIO, shuffle_seed=0)
+        cfg0 = dict(BASE_CFG)
+        cfg0["data_root"] = root
+        cfg0["normalizer_path"] = os.path.join(root, "stats.pickle")
+        store_root = os.path.join(root, "features")
+        export_to_features(vctk, store_root, cfg0, num_workers=8)
+        compute_dataset_stats(FeatureStore(store_root),
+                              cfg0["normalizer_path"])
+        results_path = os.path.join(root, "results")
+        compute_groundtruth_alignments(
+            FeatureStore(store_root), "val", cfg0, results_path,
+            os.path.join(root, "raw", "VCTK-Corpus", "phonemes"))
+        corpus_desc = CORPUS
+
+    spec_items = ([("flagship", FLAGSHIP_SPEC)] if args.flagship
+                  else [(w, WIDTH_SPECS[w]) for w in widths])
+    summary = {"corpus": corpus_desc, "widths": {}}
+    for w, width_spec in spec_items:
         cfg = dict(cfg0)
-        cfg.update(WIDTH_SPECS[w])
+        cfg.update(width_spec)
         epochs = args.epochs or cfg.pop("epochs")
         cfg.pop("epochs", None)
         wsum = {"epochs": epochs}
@@ -392,7 +437,7 @@ def main():
                       flush=True)
             wsum[str(seed)] = entry
         summary["widths"][str(w)] = wsum
-        with open(os.path.join(root, "summary.json"), "w") as f:
+        with open(os.path.join(out_root, "summary.json"), "w") as f:
             json.dump(summary, f, indent=2)
     print(json.dumps(summary))
 

@@ -40,6 +40,10 @@ from vqvae_speech_tpu.data.feature_store import FeatureStore, compute_dataset_st
 BASE_CFG = dict(
     decoder_type="deconvolutional", trainer_type="convolutional",
     verbose=False, data_root=".", start_epoch=0, num_workers=4,
+    # batch_size/num_epochs live in the reference's base yaml
+    # (vctk_features.yaml:6,9), so per-experiment overrides of them
+    # survive merge_experiment_configuration's keys-in-base filter.
+    batch_size=1, num_epochs=5,
     train_val_split=0.8, normalize=True, normalizer_path="",
     use_speaker_conditioning=False, record_codebook_stats=False,
     record_gradient_stats=False, features_path="features",
