@@ -201,12 +201,15 @@ def test_int8_weight_quantized_decode_close_to_f32():
     """Weight-only int8 decode: logits track the f32 path closely and the
     SHORT-horizon greedy streams mostly agree.
 
-    Scope note (round-3 measurement, int8_fidelity/summary.json): this
-    gate bounds per-step quantization noise at a 48-sample horizon.  Over
-    long horizons AR trajectories diverge after the first argmax flip by
-    construction — the serving-fidelity claim is distributional (NLL of
-    the int8 stream under the f32 model within 0.012 nats of the f32
-    stream's on a trained model; RESULTS.md), not stream identity."""
+    Scope note (round-3 measurement, int8_fidelity/summary.json and
+    int8_fidelity_cond/summary.json): this gate bounds per-step
+    quantization noise at a 48-sample horizon.  Over long horizons AR
+    trajectories diverge after the first argmax flip by construction —
+    even mel-conditioned (conditioning pins the envelope, not the sample
+    phase; measured agreement 0.04).  The serving-fidelity claim is
+    distributional (NLL of the int8 stream under the f32 model: +0.012
+    nats unconditioned / -0.14 sampled-conditioned vs the f32 stream's;
+    RESULTS.md), not stream identity."""
     cfg = WaveNetConfig(out_channels=24, layers=6, stacks=2,
                         residual_channels=16, gate_channels=16,
                         skip_out_channels=16, kernel_size=3, dropout=0.0,
