@@ -178,6 +178,32 @@ def test_distillation_step_runs_and_is_finite():
                for g in jax.tree_util.tree_leaves(grads))
 
 
+def test_student_generate_fused_matches_xla():
+    """use_fused=True (tiled Pallas resblock chains, interpret mode on CPU)
+    must reproduce the XLA one-pass synthesis at batch 1, including a flow
+    with num_blocks > 1 (per-block kernel launches chain correctly)."""
+    from vqvae_speech_tpu.models.clarinet import wavenet_student_generate
+    cfg = StudentConfig(num_blocks_student=(1, 2), num_layers=2,
+                        front_channels=4, residual_channels=8,
+                        gate_channels=8, skip_channels=8,
+                        kernel_size=3, cin_channels=10)
+    params = wavenet_student_init(jax.random.PRNGKey(0), cfg)
+    T = 96
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, T, 1))
+    c_up = jax.random.normal(jax.random.PRNGKey(2), (1, T, 10))
+    want = wavenet_student_generate(params, cfg, z, c_up)
+    got = wavenet_student_generate(params, cfg, z, c_up, use_fused=True,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    # batch > 1 is rejected (single-stream path)
+    z2 = jnp.concatenate([z, z], axis=0)
+    c2 = jnp.concatenate([c_up, c_up], axis=0)
+    with pytest.raises(ValueError, match="batch-1"):
+        wavenet_student_generate(params, cfg, z2, c2, use_fused=True,
+                                 interpret=True)
+
+
 def test_student_generate_bf16_close_to_f32():
     from vqvae_speech_tpu.models.clarinet import wavenet_student_generate
     cfg = StudentConfig(num_blocks_student=(1, 1), num_layers=2,

@@ -293,6 +293,34 @@ def test_parallel_iaf_batch_composition_independence(iaf_vocoder):
     np.testing.assert_array_equal(together[0].wave, alone[0].wave)
 
 
+def test_parallel_iaf_fused_chain_matches_xla_server(iaf_vocoder):
+    """use_fused_chain=True (single-stream Pallas path; interpret on CPU)
+    must reproduce the XLA server's waves."""
+    from vqvae_speech_tpu.serve import BucketedParallelSynthesisServer
+    s_params, s_cfg, t_params, t_cfg = iaf_vocoder
+    kw = dict(teacher_params=t_params, teacher_cfg=t_cfg,
+              frame_buckets=(12,), temp=1.0)
+    xla = BucketedParallelSynthesisServer(
+        "iaf_student", s_params, s_cfg, max_batch=1, **kw)
+    fused = BucketedParallelSynthesisServer(
+        "iaf_student", s_params, s_cfg, max_batch=1, use_fused_chain=True,
+        **kw)
+    conds = _mels([12, 9])
+    want = xla.synthesize(conds, seed=11)
+    got = fused.synthesize(conds, seed=11)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g.wave, w.wave, rtol=1e-5, atol=1e-5)
+
+
+def test_parallel_fused_chain_requires_single_stream_iaf(iaf_vocoder):
+    from vqvae_speech_tpu.serve import BucketedParallelSynthesisServer
+    s_params, s_cfg, t_params, t_cfg = iaf_vocoder
+    with pytest.raises(ValueError, match="single-stream"):
+        BucketedParallelSynthesisServer(
+            "iaf_student", s_params, s_cfg, teacher_params=t_params,
+            teacher_cfg=t_cfg, max_batch=4, use_fused_chain=True)
+
+
 def test_parallel_server_rejects_bad_kind(flow_vocoder):
     from vqvae_speech_tpu.serve import BucketedParallelSynthesisServer
     params, cfg = flow_vocoder

@@ -4,6 +4,7 @@ from vqvae_speech_tpu.models.clarinet.wavenet import (
     gaussian_wavenet_apply,
     gaussian_wavenet_upsample,
     gaussian_wavenet_generate,
+    gaussian_wavenet_core_fused,
 )
 from vqvae_speech_tpu.models.clarinet.wavenet_iaf import (
     StudentConfig,

@@ -93,6 +93,54 @@ def gaussian_wavenet_apply(params, cfg: GaussianWaveNetConfig, x, c):
     return gaussian_wavenet_core(params, cfg, x, c_up)
 
 
+def gaussian_wavenet_core_fused(params, cfg: GaussianWaveNetConfig, x, c_up,
+                                tile=2048, interpret=False):
+    """Batch-1 core with every ``num_layers``-deep resblock chain fused into
+    one Pallas launch (ops/fused_resblock.py, tiled form: constant VMEM at
+    any T, zero recompute).  Front conv and the two head 1x1s — a rounding
+    error of the FLOPs — stay XLA.  Skip accumulation runs in f32 inside
+    the kernel (the XLA path accumulates in the compute dtype), so under
+    bf16 serving this path is slightly MORE precise, not less.
+
+    Measured (fused_resblock_bench/summary.json): 1.216x over the XLA conv
+    chain at batch 1, the IAF student's latency-bound serving case.
+    Reference structure: src/clarinet/wavenet.py:30-127 stacked per
+    src/clarinet/wavenet_iaf.py:30-126.
+    """
+    from vqvae_speech_tpu.ops.fused_resblock import (
+        fused_block_chain_tiled, stack_block_weights)
+
+    if x.shape[0] != 1:
+        raise ValueError("fused core is the batch-1 (single-stream) path; "
+                         f"got batch {x.shape[0]}")
+    if not cfg.causal:
+        raise ValueError("fused core implements the causal chain only")
+    h = jax.nn.relu(conv_apply(params["front_conv"], x, cfg.front_channels,
+                               causal=cfg.causal))
+    nl = cfg.num_layers
+    T = h.shape[1]
+    # single tile for short inputs; never below the causal-tail minimum
+    max_tail = (cfg.kernel_size - 1) * cfg.kernel_size ** (nl - 1)
+    tile = max(min(tile, _round_up8(T)), max_tail)
+    skip = jnp.zeros((T, cfg.skip_channels), jnp.float32)
+    for b in range(cfg.num_blocks):
+        stacked = stack_block_weights(
+            params["res_blocks"][b * nl:(b + 1) * nl],
+            compute_dtype=h.dtype)
+        h0, s = fused_block_chain_tiled(
+            h[0], c_up[0, :T], stacked, layers=nl,
+            kernel_size=cfg.kernel_size, tile=tile, interpret=interpret)
+        h = h0[None]
+        skip = skip + s
+    out = jax.nn.relu(skip[None].astype(x.dtype))
+    out = jax.nn.relu(conv_apply(params["final_conv_1"], out, 1))
+    return conv_apply(params["final_conv_2"], out, 1)
+
+
+def _round_up8(n):
+    return -(-n // 8) * 8
+
+
 # -------------------- scan-based autoregressive generation --------------------
 
 

@@ -55,16 +55,26 @@ def wavenet_student_init(key, cfg: StudentConfig, dtype=jnp.float32):
                      for i in range(cfg.num_flow)]}
 
 
-def wavenet_student_apply(params, cfg: StudentConfig, z, c_up):
+def wavenet_student_apply(params, cfg: StudentConfig, z, c_up,
+                          use_fused=False, interpret=False):
     """z: (B, T, 1) noise; c_up: (B, T, cin) pre-upsampled conditioning.
 
     Returns (x (B, T, 1), mu_tot (B, T-1, 1), logs_tot (B, T-1, 1)) matching
-    the reference's iaf() (wavenet_iaf.py:52-62).
+    the reference's iaf() (wavenet_iaf.py:52-62).  ``use_fused`` runs every
+    flow's resblock chains through the tiled Pallas kernel (batch-1 only;
+    see gaussian_wavenet_core_fused).
     """
+    from vqvae_speech_tpu.models.clarinet.wavenet import (
+        gaussian_wavenet_core_fused)
+
     mu_tot = jnp.zeros_like(z[:, :-1, :])
     logs_tot = jnp.zeros_like(z[:, :-1, :])
     for i, p in enumerate(params["iafs"]):
-        mu_logs = gaussian_wavenet_core(p, cfg.flow_config(i), z, c_up)
+        if use_fused:
+            mu_logs = gaussian_wavenet_core_fused(
+                p, cfg.flow_config(i), z, c_up, interpret=interpret)
+        else:
+            mu_logs = gaussian_wavenet_core(p, cfg.flow_config(i), z, c_up)
         mu = mu_logs[:, :-1, 0:1]
         logs = mu_logs[:, :-1, 1:2]
         mu_tot = mu_tot * jnp.exp(logs) + mu
@@ -75,14 +85,18 @@ def wavenet_student_apply(params, cfg: StudentConfig, z, c_up):
 
 
 def wavenet_student_generate(params, cfg: StudentConfig, z, c_up,
-                             compute_dtype=None):
+                             compute_dtype=None, use_fused=False,
+                             interpret=False):
     """One-pass synthesis.  ``compute_dtype=jnp.bfloat16`` runs the flow
     convs on the MXU bf16 path (params/activations cast in, waveform cast
-    back to f32) — the synthesis-serving configuration."""
+    back to f32) — the synthesis-serving configuration.  ``use_fused``
+    selects the batch-1 tiled-Pallas resblock chains (single-stream
+    latency path; measured 1.216x over the XLA chain at student scale)."""
     if compute_dtype is not None:
         params = jax.tree_util.tree_map(
             lambda p: p.astype(compute_dtype), params)
         z = z.astype(compute_dtype)
         c_up = c_up.astype(compute_dtype)
-    x, _, _ = wavenet_student_apply(params, cfg, z, c_up)
+    x, _, _ = wavenet_student_apply(params, cfg, z, c_up,
+                                    use_fused=use_fused, interpret=interpret)
     return x.astype(jnp.float32)

@@ -92,6 +92,126 @@ def _chain_kernel(x_ref, c_ref, wf_ref, wg_ref, wfc_ref, wgc_ref,
     skip_ref[:] = skip
 
 
+def _chain_kernel_tiled(x_ref, c_ref, wf_ref, wg_ref, wfc_ref, wgc_ref,
+                        wres_ref, wskip_ref, bf_ref, bg_ref, bres_ref,
+                        bskip_ref, xout_ref, skip_ref, tails_ref, *,
+                        layers, kernel_size, dilations, max_tail):
+    """One time-tile of the chain; per-layer input tails carried in VMEM
+    scratch across the (sequential) grid so no FLOP is recomputed.
+
+    tails_ref[l, -2*d_l:] holds the last (k-1)*d_l rows of layer l's INPUT
+    from the previous tile; the first tile sees zeros = the causal left pad.
+    """
+    from jax.experimental import pallas as pl
+
+    f32 = jnp.float32
+    tile = x_ref.shape[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero_tails():
+        tails_ref[...] = jnp.zeros(tails_ref.shape, tails_ref.dtype)
+
+    x = x_ref[:]
+    c = c_ref[:]
+    dtype = x.dtype
+    skip = jnp.zeros(skip_ref.shape, f32)
+    sqrt_half = jnp.asarray(math.sqrt(0.5), f32)
+    for l in range(layers):
+        d = dilations[l]
+        lag_max = (kernel_size - 1) * d
+        # previous tile's tail of THIS layer's input, then update the
+        # scratch with the current tile's tail for the next grid step.
+        tail = tails_ref[l, max_tail - lag_max:]
+        tails_ref[l, max_tail - lag_max:] = x[tile - lag_max:]
+        ext = jnp.concatenate([tail, x], axis=0)        # (lag_max+tile, C)
+        hf = (jnp.dot(c, wfc_ref[l], preferred_element_type=f32)
+              + bf_ref[l])
+        hg = (jnp.dot(c, wgc_ref[l], preferred_element_type=f32)
+              + bg_ref[l])
+        for j in range(kernel_size):
+            lag = (kernel_size - 1 - j) * d
+            xs = jax.lax.slice_in_dim(ext, lag_max - lag,
+                                      lag_max - lag + tile, axis=0)
+            hf = hf + jnp.dot(xs, wf_ref[l, j], preferred_element_type=f32)
+            hg = hg + jnp.dot(xs, wg_ref[l, j], preferred_element_type=f32)
+        out = (jnp.tanh(hf) * jax.nn.sigmoid(hg)).astype(dtype)
+        skip = skip + (jnp.dot(out, wskip_ref[l],
+                               preferred_element_type=f32) + bskip_ref[l])
+        res = jnp.dot(out, wres_ref[l], preferred_element_type=f32) \
+            + bres_ref[l]
+        x = ((x.astype(f32) + res) * sqrt_half).astype(dtype)
+    xout_ref[:] = x
+    skip_ref[:] = skip
+
+
+@functools.partial(jax.jit, static_argnames=("layers", "kernel_size",
+                                             "tile", "interpret"))
+def fused_block_chain_tiled(x, c_up, stacked, layers=6, kernel_size=3,
+                            tile=2048, interpret=False):
+    """Production form of :func:`fused_block_chain`: constant VMEM at any T.
+
+    The grid walks time tiles left to right (TPU Pallas grids execute
+    sequentially on a core); each layer's causal history across the tile
+    boundary — its last ``(k-1)*dilation`` input rows — is carried in a
+    VMEM scratch buffer, so unlike a halo tiling there is ZERO recomputed
+    work.  Weights use constant index maps and stay resident in VMEM for
+    the whole launch.  Requires ``tile >= (k-1)*max(dilation)`` (asserted)
+    and pads T up to a tile multiple (output trimmed).
+
+    Same math as fused_block_chain; reference structure being fused:
+    src/clarinet/modules.py:62-98 stacked as in src/clarinet/
+    wavenet_iaf.py:30-126.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, C = x.shape
+    S = stacked["wskip"].shape[-1]
+    cin = c_up.shape[-1]
+    dilations = tuple(kernel_size ** (i % layers) for i in range(layers))
+    max_tail = (kernel_size - 1) * max(dilations)
+    if tile < max_tail:
+        raise ValueError(f"tile {tile} < max causal tail {max_tail}")
+    T_pad = -(-T // tile) * tile
+    if T_pad != T:
+        x = jnp.pad(x, ((0, T_pad - T), (0, 0)))
+        c_up = jnp.pad(c_up, ((0, T_pad - T), (0, 0)))
+    kernel = functools.partial(_chain_kernel_tiled, layers=layers,
+                               kernel_size=kernel_size, dilations=dilations,
+                               max_tail=max_tail)
+
+    def t_map(i):
+        return (i, 0)
+
+    def const_map(*args):
+        def m(i):
+            return tuple(0 for _ in args)
+        return m
+
+    def whole(a):
+        return pl.BlockSpec(a.shape, const_map(*a.shape),
+                            memory_space=pltpu.VMEM)
+
+    xo, sk = pl.pallas_call(
+        kernel,
+        grid=(T_pad // tile,),
+        in_specs=[pl.BlockSpec((tile, C), t_map, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((tile, cin), t_map, memory_space=pltpu.VMEM)]
+        + [whole(stacked[k]) for k in ("wf", "wg", "wfc", "wgc", "wres",
+                                       "wskip", "bf", "bg", "bres",
+                                       "bskip")],
+        out_specs=(pl.BlockSpec((tile, C), t_map, memory_space=pltpu.VMEM),
+                   pl.BlockSpec((tile, S), t_map, memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((T_pad, C), x.dtype),
+                   jax.ShapeDtypeStruct((T_pad, S), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((layers, max_tail, C), x.dtype)],
+        interpret=interpret,
+    )(x, c_up, stacked["wf"], stacked["wg"], stacked["wfc"], stacked["wgc"],
+      stacked["wres"], stacked["wskip"], stacked["bf"], stacked["bg"],
+      stacked["bres"], stacked["bskip"])
+    return xo[:T], sk[:T]
+
+
 @functools.partial(jax.jit, static_argnames=("layers", "kernel_size",
                                              "interpret"))
 def fused_block_chain(x, c_up, stacked, layers=6, kernel_size=3,

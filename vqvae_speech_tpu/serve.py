@@ -324,6 +324,9 @@ class BucketedParallelSynthesisServer:
     temp : scale on z (the flow literature's sampling temperature;
         reference flow_wavenet/synthesize.py:60 uses 0.8).
     compute_dtype : e.g. jnp.bfloat16 for the MXU path (RESULTS.md).
+    use_fused_chain : iaf_student + max_batch=1 only — run each flow's
+        resblock chains as tiled Pallas kernels (the single-stream latency
+        configuration; measured 1.216x over the XLA chain).
     """
 
     def __init__(self, kind: str, params, cfg, *,
@@ -331,13 +334,17 @@ class BucketedParallelSynthesisServer:
                  frame_buckets: Sequence[int] = (20, 40, 80),
                  max_batch: int = 8,
                  temp: float = 0.8,
-                 compute_dtype=None):
+                 compute_dtype=None,
+                 use_fused_chain: bool = False):
         if kind not in ("flowavenet", "iaf_student"):
             raise ValueError(f"unknown parallel vocoder kind: {kind!r}")
         if kind == "iaf_student" and (teacher_params is None
                                       or teacher_cfg is None):
             raise ValueError("iaf_student needs teacher_params/teacher_cfg "
                              "for mel upsampling")
+        if use_fused_chain and (kind != "iaf_student" or max_batch != 1):
+            raise ValueError("use_fused_chain is the iaf_student "
+                             "single-stream (max_batch=1) path")
         self._kind = kind
         self._params = params
         self._cfg = cfg
@@ -347,6 +354,7 @@ class BucketedParallelSynthesisServer:
         self._max_batch = int(max_batch)
         self._temp = float(temp)
         self._compute_dtype = compute_dtype
+        self._use_fused_chain = bool(use_fused_chain)
         self._compiled: Dict[int, object] = {}
         self._launches = 0
         scales = (cfg.upsample_scales if kind == "flowavenet"
@@ -378,12 +386,19 @@ class BucketedParallelSynthesisServer:
             from vqvae_speech_tpu.models.clarinet import (
                 gaussian_wavenet_upsample, wavenet_student_generate)
 
+            # Pallas only runs in interpret mode on the CPU backend; the
+            # compiled kernel path is the TPU serving configuration.
+            fused_interpret = (self._use_fused_chain
+                               and jax.default_backend() == "cpu")
+
             def run(params, teacher_params, z, c):
                 c_up = gaussian_wavenet_upsample(teacher_params, c,
                                                  self._teacher_cfg)
                 return wavenet_student_generate(
                     params, self._cfg, z, c_up,
-                    compute_dtype=self._compute_dtype)
+                    compute_dtype=self._compute_dtype,
+                    use_fused=self._use_fused_chain,
+                    interpret=fused_interpret)
 
         return jax.jit(run)
 
