@@ -216,6 +216,8 @@ def main():
                     help="flagship corpus speakers override")
     ap.add_argument("--utts", type=int, default=None,
                     help="flagship corpus utts-per-speaker override")
+    ap.add_argument("--utt-seconds", type=float, default=None,
+                    help="flagship corpus utterance length override (s)")
     ap.add_argument("--root", default="quality_run")
     args = ap.parse_args()
     # The reference trains in true f32 (CUDA); TPU's default matmul precision
@@ -235,6 +237,9 @@ def main():
         if args.utts:
             spec["corpus"] = dict(spec["corpus"],
                                   utts_per_speaker=args.utts)
+        if args.utt_seconds:
+            spec["corpus"] = dict(spec["corpus"],
+                                  utt_seconds=args.utt_seconds)
         root = (args.root if args.root != "quality_run"
                 else "quality_run_flagship")
         summary = run(root, spec, "phonemes_flagship")
