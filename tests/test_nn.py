@@ -132,3 +132,29 @@ def test_jitter_shared_across_batch():
     out = np.asarray(jitter(key, x, 0.12))
     # all batch rows must have identical jitter pattern
     assert np.array_equal(out[0], out[1]) and np.array_equal(out[1], out[2])
+
+
+def test_jitter_detaches_replaced_frames():
+    """Reference jitter copies from quantized.detach().clone()
+    (jitter.py:47,67): replaced frames carry NO gradient; kept frames pass
+    identity gradient.  The live-gather variant (gradient rerouted through
+    neighbors) measurably changes flagship training dynamics (RESULTS.md
+    round-3 head-to-head), so the detach semantics are load-bearing."""
+    key = jax.random.PRNGKey(11)
+    B, T, C = 2, 200, 4
+    x = jnp.ones((B, T, C), jnp.float32)
+
+    grad = jax.grad(lambda v: jnp.sum(jitter(key, v, 0.12)))(x)
+    g = np.asarray(grad)
+    # each frame's gradient is either exactly 1 (kept, identity) or
+    # exactly 0 (replaced, detached) -- never redistributed to neighbors
+    per_frame = g[0, :, 0]
+    assert set(np.unique(per_frame)).issubset({0.0, 1.0})
+    kept_frac = float(per_frame.mean())
+    assert 0.03 < kept_frac < 0.25  # keep rate ~p=0.12 under the inversion
+
+    # the kept set must be exactly the un-replaced frames of the value path
+    out = np.asarray(jitter(key, x * jnp.arange(T, dtype=jnp.float32)[None, :, None], 0.12))
+    ramp = np.arange(T, dtype=np.float32)
+    kept_mask = out[0, :, 0] == ramp
+    np.testing.assert_array_equal(per_frame == 1.0, kept_mask)

@@ -80,6 +80,17 @@ def jitter(key, x, probability: float = 0.12, inverted: bool = True):
     Boundary frames use their only neighbor (t=0 -> +1, t=T-1 -> -1); interior
     frames pick t-1 or t+1 uniformly.  Replacements read the *original*
     tensor (the reference copies before mutating, jitter.py:48).
+
+    GRADIENT SEMANTICS (the round-3 flagship-divergence fix): the reference
+    copies from `quantized.detach().clone()` (jitter.py:47), so replaced
+    frames carry NO gradient — with the inverted quirk that detaches ~88%
+    of the decoder input, cutting the straight-through reconstruction
+    gradient into the encoder ~8x.  That cut is what makes the reference's
+    jitter12 flagship configuration drift-stable (measured head-to-head in
+    RESULTS.md: torch e_latent 0.68 vs 4.3 for a live-gather jitter at the
+    flagship operating point).  A live gather (gradients rerouted through
+    neighbors) is NOT equivalent; `jax.lax.stop_gradient` on the gathered
+    neighbor values reproduces the reference exactly.
     """
     T = x.shape[1]
     k_rep, k_dir = jax.random.split(key)
@@ -88,8 +99,8 @@ def jitter(key, x, probability: float = 0.12, inverted: bool = True):
     direction = jnp.where(jax.random.bernoulli(k_dir, 0.5, (T,)), 1, -1)
     t = jnp.arange(T)
     neighbor = jnp.where(t == 0, 1, jnp.where(t == T - 1, T - 2, t + direction))
-    src = jnp.where(replace, neighbor, t)
-    return x[:, src, :]
+    detached = jax.lax.stop_gradient(x)[:, neighbor, :]
+    return jnp.where(replace[None, :, None], detached, x)
 
 
 # -------------------- Upsample --------------------
