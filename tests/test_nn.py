@@ -158,3 +158,23 @@ def test_jitter_detaches_replaced_frames():
     ramp = np.arange(T, dtype=np.float32)
     kept_mask = out[0, :, 0] == ramp
     np.testing.assert_array_equal(per_frame == 1.0, kept_mask)
+
+
+def test_jitter_flow_gradient_extension_same_values():
+    """detach_replacements=False (flow-gradient extension) produces
+    IDENTICAL values to the reference-semantics default — only gradients
+    differ (they flow through the gather into source neighbors)."""
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 64, 3))
+    a = jitter(key, x, 0.12)
+    b = jitter(key, x, 0.12, detach_replacements=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # extension gradients redistribute (sum of per-frame grads over the
+    # whole tensor equals T*C per batch row: every output frame backprops
+    # somewhere), unlike the detached default where replaced frames vanish
+    gflow = jax.grad(lambda v: jnp.sum(jitter(key, v, 0.12,
+                                              detach_replacements=False)))(x)
+    gdet = jax.grad(lambda v: jnp.sum(jitter(key, v, 0.12)))(x)
+    assert float(jnp.sum(gflow)) == x.shape[1] * x.shape[2] * x.shape[0]
+    assert float(jnp.sum(gdet)) < float(jnp.sum(gflow))

@@ -106,6 +106,9 @@ def conv_vqvae_apply(params, state, x, config: dict, *, training: bool = False,
         jitter_probability=config["jitter_probability"],
         jitter_key=jitter_key,
         speaker_ids=speaker_ids,
+        # reference gradient semantics by default (PARITY #34); set
+        # jitter_gradient_detach: false for the flow-gradient extension
+        jitter_detach=config.get("jitter_gradient_detach", True),
     )
     # Trim decoder output back to the input frame count
     # (reference convolutional_vq_vae.py:133-137).

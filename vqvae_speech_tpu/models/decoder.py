@@ -60,14 +60,19 @@ def deconvolutional_decoder_apply(params, x, *, training: bool = False,
                                   num_residual_layers: int = 2,
                                   use_jitter: bool = False,
                                   jitter_probability: float = 0.12,
-                                  jitter_key=None, speaker_ids=None):
+                                  jitter_key=None, speaker_ids=None,
+                                  jitter_detach: bool = True):
     """x: (B, T, C) quantized latents -> (B, 2T+3, out_channels).
 
     Output time length: T -> conv_1 (same) -> x2 upsample (2T) -> convT k3 p1
     (2T) -> convT k3 p0 (2T+2) -> convT k2 p0 (2T+3).
+
+    ``jitter_detach=True`` is the reference's gradient semantics (PARITY
+    #34); ``False`` is the flow-gradient extension (see nn/layers.jitter).
     """
     if use_jitter and training:
-        x = jitter(jitter_key, x, jitter_probability)
+        x = jitter(jitter_key, x, jitter_probability,
+                   detach_replacements=jitter_detach)
     if "speaker_embedding" in params:
         g = global_conditioning_apply(params["speaker_embedding"], speaker_ids,
                                       x.shape[1])

@@ -3,5 +3,6 @@ from vqvae_speech_tpu.models.flowavenet.model import (
     flowavenet_init,
     flowavenet_forward,
     flowavenet_reverse,
+    flowavenet_upsample,
     actnorm_initialize,
 )

@@ -63,7 +63,8 @@ def residual_stack_apply(params, x, num_layers: int):
 # -------------------- Jitter --------------------
 
 
-def jitter(key, x, probability: float = 0.12, inverted: bool = True):
+def jitter(key, x, probability: float = 0.12, inverted: bool = True,
+           detach_replacements: bool = True):
     """Chorowski time-jitter on (B, T, C) — vectorized (one fused gather).
 
     The reference implements this as a per-timestep Python loop with host RNG
@@ -91,6 +92,14 @@ def jitter(key, x, probability: float = 0.12, inverted: bool = True):
     flagship operating point).  A live gather (gradients rerouted through
     neighbors) is NOT equivalent; `jax.lax.stop_gradient` on the gathered
     neighbor values reproduces the reference exactly.
+
+    ``detach_replacements=False`` keeps the live gather — the FLOW-GRADIENT
+    EXTENSION: replaced frames backprop into their source neighbor, adding
+    a temporal-consistency pressure (the Chorowski jitter *intent* — "a
+    latent vector at t must strive to be useful at t-1/t+1" — applied to
+    gradients as well as values).  Measurably stronger regularizer at toy
+    scale (w24 gate ARI ~3x the detached reference semantics, RESULTS.md);
+    values are identical either way.
     """
     T = x.shape[1]
     k_rep, k_dir = jax.random.split(key)
@@ -99,6 +108,9 @@ def jitter(key, x, probability: float = 0.12, inverted: bool = True):
     direction = jnp.where(jax.random.bernoulli(k_dir, 0.5, (T,)), 1, -1)
     t = jnp.arange(T)
     neighbor = jnp.where(t == 0, 1, jnp.where(t == T - 1, T - 2, t + direction))
+    if not detach_replacements:
+        src = jnp.where(replace, neighbor, t)
+        return x[:, src, :]
     detached = jax.lax.stop_gradient(x)[:, neighbor, :]
     return jnp.where(replace[None, :, None], detached, x)
 
