@@ -104,7 +104,9 @@ def build_phoneme_corpus(root, num_speakers=2, utts_per_speaker=8,
 VOWEL_FORMANTS = {
     "AA": (700, 1220, 2600),
     "AE": (660, 1720, 2410),
+    "AH": (640, 1190, 2390),
     "AO": (570, 840, 2410),
+    "AX": (500, 1500, 2500),
     "EH": (530, 1840, 2480),
     "ER": (490, 1350, 1690),
     "IH": (390, 1990, 2550),
@@ -112,13 +114,48 @@ VOWEL_FORMANTS = {
     "UH": (440, 1020, 2240),
     "UW": (300, 870, 2240),
 }
-# nasal: low F1, heavily damped upper structure
-NASAL_FORMANTS = {"NN": (250, 1000, 2200)}
+# liquids/glides: vowel-like resonants (RR's hallmark is the very low F3)
+LIQUID_FORMANTS = {
+    "LL": (350, 1050, 2800),
+    "RR": (310, 1060, 1380),
+    "WW": (290, 610, 2150),
+    "YY": (260, 2070, 3020),
+}
+# diphthongs: formant glide from one vowel target to another
+DIPHTHONGS = {
+    "AY": ("AA", "IY"), "AW": ("AA", "UW"), "OY": ("AO", "IY"),
+    "EY": ("EH", "IY"), "OW": ("AO", "UW"),
+}
+# nasals: low F1, heavily damped upper structure
+NASAL_FORMANTS = {
+    "NN": (250, 1000, 2200),
+    "MM": (250, 1100, 2150),
+    "NG": (280, 1300, 2000),
+}
 # fricatives: noise band (lo, hi) Hz
-FRICATIVE_BANDS = {"SH": (1800, 5200), "SS": (3800, 7600)}
+FRICATIVE_BANDS = {
+    "SH": (1800, 5200), "SS": (3800, 7600), "FF": (1100, 7000),
+    "TH": (1300, 7800), "HH": (500, 6500),
+}
+# voiced fricatives: harmonic source mixed with the noise band
+VOICED_FRICATIVE_BANDS = {
+    "ZZ": (3800, 7600), "VV": (1100, 7000), "ZH": (1800, 5200),
+}
+# stops: closure -> burst (band-emphasised noise); voiced ones add a
+# low-frequency voice bar during closure
+STOP_SPECS = {
+    "PP": ((600, 1800), False), "TT": ((2500, 6500), False),
+    "KK": ((1400, 3600), False), "BB": ((600, 1800), True),
+    "DD": ((2500, 6500), True), "GG": ((1400, 3600), True),
+}
 
-RICH_PHONEMES = (list(VOWEL_FORMANTS) + list(NASAL_FORMANTS)
-                 + list(FRICATIVE_BANDS))
+# 37 classes — structurally comparable to the reference's real task
+# (44 codes vs the ~40-phone VCTK inventory), so ARI no longer punishes
+# an unavoidable 4-way split of a 12-phone inventory across 44 codes.
+RICH_PHONEMES = (list(VOWEL_FORMANTS) + list(LIQUID_FORMANTS)
+                 + list(DIPHTHONGS) + list(NASAL_FORMANTS)
+                 + list(FRICATIVE_BANDS) + list(VOICED_FRICATIVE_BANDS)
+                 + list(STOP_SPECS))
 
 
 def _formant_envelope(freqs, formants, bws, amps):
@@ -130,8 +167,12 @@ def _formant_envelope(freqs, formants, bws, amps):
 
 
 def _voiced_segment(formants, dur, rate, rng, f0_start, f0_end,
-                    damped=False):
-    """Harmonic series at a gliding f0, shaped by the formant envelope."""
+                    damped=False, formants_end=None):
+    """Harmonic series at a gliding f0, shaped by the formant envelope.
+
+    ``formants_end`` synthesizes a diphthong: per-harmonic amplitudes
+    crossfade linearly from the ``formants`` envelope to the
+    ``formants_end`` envelope over the segment."""
     t = np.arange(dur) / rate
     # linear f0 glide + 5 Hz vibrato; phase = 2*pi*integral(f0)
     f0_t = np.linspace(f0_start, f0_end, dur)
@@ -146,16 +187,29 @@ def _voiced_segment(formants, dur, rate, rng, f0_start, f0_end,
     amps = [1.0, 0.6, 0.3]
     if damped:
         amps = [1.0, 0.25, 0.1]
-    env = _formant_envelope(harm_idx * mean_f0, formants, bws, amps)
-    env = env / max(env.max(), 1e-6)
-    # gentle spectral tilt, stronger for damped (nasal) timbres
-    env = env * (harm_idx.astype(np.float64) **
-                 (-0.5 if not damped else -1.0))
+    tilt = harm_idx.astype(np.float64) ** (-0.5 if not damped else -1.0)
+
+    def envelope(fmts):
+        e = _formant_envelope(harm_idx * mean_f0, fmts, bws, amps)
+        # gentle spectral tilt, stronger for damped (nasal) timbres
+        return e / max(e.max(), 1e-6) * tilt
+
+    env_a = envelope(formants)
+    env_b = envelope(formants_end) if formants_end is not None else None
     sig = np.zeros(dur)
-    for k, a in zip(harm_idx, env):
-        if a < 1e-4:
-            continue
-        sig += a * np.sin(k * phase0 + rng.uniform(0, 2 * np.pi))
+    u = np.linspace(0.0, 1.0, dur)
+    for i, k in enumerate(harm_idx):
+        a = env_a[i]
+        if env_b is None:
+            if a < 1e-4:
+                continue
+            amp = a
+        else:
+            b = env_b[i]
+            if a < 1e-4 and b < 1e-4:
+                continue
+            amp = (1.0 - u) * a + u * b   # formant glide
+        sig += amp * np.sin(k * phase0 + rng.uniform(0, 2 * np.pi))
     return sig
 
 
@@ -171,19 +225,73 @@ def _fricative_segment(band, dur, rate, rng):
     return np.fft.irfft(spec * gain, dur)
 
 
+def _jittered_formants(base, spk, rng):
+    return [f * spk["vt_scale"] * rng.uniform(0.92, 1.08) for f in base]
+
+
+def _jittered_band(band, rate, rng):
+    lo, hi = band
+    j = rng.uniform(0.9, 1.1, 2)
+    return (lo * j[0], min(hi * j[1], rate / 2 - 200))
+
+
+def _stop_segment(name, dur, rate, rng, spk):
+    """Closure (silence / voice bar) -> burst (band noise, fast decay) ->
+    brief aspiration tail."""
+    band, voiced = STOP_SPECS[name]
+    n_clo = int(0.5 * dur)
+    n_burst = max(8, int(0.22 * dur))
+    n_asp = dur - n_clo - n_burst
+    closure = np.zeros(n_clo)
+    if voiced and n_clo > 0:
+        # voice bar: low-frequency murmur through the closure
+        f0 = spk["f0"] * rng.uniform(0.85, 1.0)
+        tt = np.arange(n_clo) / rate
+        closure = 0.18 * np.sin(2 * np.pi * f0 * tt
+                                + rng.uniform(0, 2 * np.pi))
+    burst = _fricative_segment(_jittered_band(band, rate, rng),
+                               n_burst, rate, rng)
+    burst *= np.exp(-np.linspace(0, 5.0, n_burst))       # sharp transient
+    asp = np.zeros(n_asp)
+    if n_asp > 0:
+        asp = 0.25 * _fricative_segment((500, 5500), n_asp, rate, rng)
+        asp *= np.exp(-np.linspace(0, 3.0, n_asp))
+    return np.concatenate([closure, burst, asp])
+
+
 def _rich_segment(name, dur, rate, rng, spk, noise=0.01):
     """One phoneme segment with per-segment formant/band jitter and a
     random amplitude envelope."""
     if name in FRICATIVE_BANDS:
-        lo, hi = FRICATIVE_BANDS[name]
-        j = rng.uniform(0.9, 1.1, 2)
-        sig = _fricative_segment((lo * j[0], min(hi * j[1], rate / 2 - 200)),
-                                 dur, rate, rng)
+        sig = _fricative_segment(
+            _jittered_band(FRICATIVE_BANDS[name], rate, rng), dur, rate, rng)
+    elif name in VOICED_FRICATIVE_BANDS:
+        # harmonic source (neutral vocal tract) under the noise band
+        f0a = spk["f0"] * rng.uniform(0.85, 1.1)
+        voiced = _voiced_segment(
+            _jittered_formants((500, 1500, 2500), spk, rng), dur, rate,
+            rng, f0a, f0a * rng.uniform(0.9, 1.0), damped=True)
+        fric = _fricative_segment(
+            _jittered_band(VOICED_FRICATIVE_BANDS[name], rate, rng),
+            dur, rate, rng)
+        v = voiced / max(np.abs(voiced).max(), 1e-6)
+        f = fric / max(np.abs(fric).max(), 1e-6)
+        sig = 0.55 * v + 0.5 * f
+    elif name in STOP_SPECS:
+        sig = _stop_segment(name, dur, rate, rng, spk)
+    elif name in DIPHTHONGS:
+        va, vb = DIPHTHONGS[name]
+        f0a = spk["f0"] * rng.uniform(0.85, 1.15)
+        sig = _voiced_segment(
+            _jittered_formants(VOWEL_FORMANTS[va], spk, rng), dur, rate,
+            rng, f0a, f0a * rng.uniform(0.85, 1.05),
+            formants_end=_jittered_formants(VOWEL_FORMANTS[vb], spk, rng))
     else:
         damped = name in NASAL_FORMANTS
-        base = (NASAL_FORMANTS if damped else VOWEL_FORMANTS)[name]
-        formants = [f * spk["vt_scale"] * rng.uniform(0.92, 1.08)
-                    for f in base]
+        base = (NASAL_FORMANTS if damped
+                else LIQUID_FORMANTS if name in LIQUID_FORMANTS
+                else VOWEL_FORMANTS)[name]
+        formants = _jittered_formants(base, spk, rng)
         f0a = spk["f0"] * rng.uniform(0.85, 1.15)
         f0b = f0a * rng.uniform(0.85, 1.05)   # mild declination
         sig = _voiced_segment(formants, dur, rate, rng, f0a, f0b,
