@@ -192,3 +192,24 @@ def test_forward_bf16_mixed_precision_tracks_f32():
                                     compute_dtype=jnp.bfloat16)
     np.testing.assert_allclose(float(lpbf), float(lp32), rtol=0.05, atol=0.05)
     np.testing.assert_allclose(float(ldbf), float(ld32), rtol=0.05, atol=0.05)
+
+
+def test_reverse_fused_chain_matches_xla():
+    """use_fused=True (non-causal halo-window Pallas chains, interpret on
+    CPU) must reproduce the XLA reverse at batch 1, through squeeze depths,
+    change_order, and the flow scan."""
+    params = flowavenet_init(jax.random.PRNGKey(3), SMALL)
+    z = jax.random.normal(jax.random.PRNGKey(4), (1, 64, 1))
+    c = jax.random.normal(jax.random.PRNGKey(5), (1, 16, 6))
+    want = flowavenet_reverse(params, SMALL, z, c)
+    got = flowavenet_reverse(params, SMALL, z, c, use_fused=True,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    # batch > 1 silently falls back to the XLA chain (same result)
+    z2 = jnp.concatenate([z, -z], axis=0)
+    c2 = jnp.concatenate([c, c], axis=0)
+    want2 = flowavenet_reverse(params, SMALL, z2, c2)
+    got2 = flowavenet_reverse(params, SMALL, z2, c2, use_fused=True,
+                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(want2))

@@ -362,3 +362,20 @@ def test_synthesis_server_tensor_parallel_matches_single_chip(vocoder):
     want = plain.synthesize(conds)
     for a, b in zip(got, want):
         np.testing.assert_array_equal(a.wave, b.wave)
+
+
+def test_parallel_flow_fused_chain_matches_xla_server(flow_vocoder):
+    """flowavenet + use_fused_chain=True (non-causal halo-window Pallas;
+    interpret on CPU) must reproduce the XLA server's waves."""
+    from vqvae_speech_tpu.serve import BucketedParallelSynthesisServer
+    params, cfg = flow_vocoder
+    xla = BucketedParallelSynthesisServer(
+        "flowavenet", params, cfg, frame_buckets=(12,), max_batch=1)
+    fused = BucketedParallelSynthesisServer(
+        "flowavenet", params, cfg, frame_buckets=(12,), max_batch=1,
+        use_fused_chain=True)
+    conds = _mels([12, 9])
+    want = xla.synthesize(conds, seed=3)
+    got = fused.synthesize(conds, seed=3)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g.wave, w.wave, rtol=1e-5, atol=1e-5)

@@ -86,15 +86,41 @@ def coupling_net_init(key, cfg: CouplingNetConfig, dtype=jnp.float32):
     }
 
 
-def coupling_net_apply(params, cfg: CouplingNetConfig, x, c):
+def coupling_net_apply(params, cfg: CouplingNetConfig, x, c,
+                       use_fused=False, interpret=False, fused_tile=1024):
     from vqvae_speech_tpu.models.clarinet.modules import resblock_apply
 
     h = jax.nn.relu(conv_apply(params["front_conv"], x, 3, causal=cfg.causal))
-    skip = 0.0
-    for i, p in enumerate(params["res_blocks"]):
-        h, s = resblock_apply(p, h, c, cfg.kernel_size, cfg.dilation(i),
-                              cfg.causal)
-        skip = skip + s
+    if use_fused:
+        # batch-1 halo-window Pallas chains (ops/fused_resblock.py) — the
+        # single-stream synthesis latency path; front/finals stay XLA
+        from vqvae_speech_tpu.ops.fused_resblock import (
+            fused_block_chain_nc, stack_block_weights)
+
+        if cfg.causal or x.shape[0] != 1:
+            raise ValueError("fused coupling chain is the non-causal "
+                             "batch-1 path")
+        nl = cfg.num_layers
+        dil = tuple(cfg.dilation(i) for i in range(nl))
+        T = h.shape[1]
+        skip = jnp.zeros((T, cfg.skip_channels), jnp.float32)
+        for b in range(cfg.num_blocks):
+            stacked = stack_block_weights(
+                params["res_blocks"][b * nl:(b + 1) * nl],
+                compute_dtype=h.dtype)
+            h0, s = fused_block_chain_nc(
+                h[0], c[0, :T], stacked, layers=nl,
+                kernel_size=cfg.kernel_size, dilations=dil,
+                tile=fused_tile, interpret=interpret)
+            h = h0[None]
+            skip = skip + s
+        skip = skip[None].astype(x.dtype)
+    else:
+        skip = 0.0
+        for i, p in enumerate(params["res_blocks"]):
+            h, s = resblock_apply(p, h, c, cfg.kernel_size, cfg.dilation(i),
+                                  cfg.causal)
+            skip = skip + s
     out = jax.nn.relu(skip)
     out = jax.nn.relu(conv_apply(params["final_conv_1"], out, 1))
     return _zero_conv_apply(params["final_zero_conv"], out)
@@ -238,10 +264,12 @@ def _coupling_forward(p, net_cfg, x, c, affine):
     return jnp.concatenate([in_a, out_b], -1), logdet
 
 
-def _coupling_reverse(p, net_cfg, y, c, affine):
+def _coupling_reverse(p, net_cfg, y, c, affine, use_fused=False,
+                      interpret=False):
     out_a, out_b = jnp.split(y, 2, axis=-1)
     c_a, _ = jnp.split(c, 2, axis=-1)
-    net_out = coupling_net_apply(p, net_cfg, out_a, c_a)
+    net_out = coupling_net_apply(p, net_cfg, out_a, c_a,
+                                 use_fused=use_fused, interpret=interpret)
     if affine:
         log_s, t = jnp.split(net_out, 2, axis=-1)
         in_b = out_b * jnp.exp(log_s) + t
@@ -334,10 +362,17 @@ def flowavenet_forward(params, cfg: FlowavenetConfig, x, c,
 
 
 def flowavenet_reverse(params, cfg: FlowavenetConfig, z, c, rng=None,
-                       temp: float = 1.0, compute_dtype=None):
+                       temp: float = 1.0, compute_dtype=None,
+                       use_fused=False, interpret=False):
     """Invert the flow: z: (B, T, 1) noise -> waveform (B, T, 1)
     (reference model.py:259-282).  ``compute_dtype=jnp.bfloat16`` runs the
-    coupling convs on the MXU bf16 path (waveform cast back to f32)."""
+    coupling convs on the MXU bf16 path (waveform cast back to f32).
+
+    ``use_fused`` (batch-1 only) runs coupling resblock chains as fused
+    halo-window Pallas kernels (ops/fused_resblock.py) on blocks whose
+    conditioning width keeps the weight stack VMEM-resident (the early,
+    compute-dominant blocks — channel doubling under squeeze makes late
+    blocks wide but they carry exponentially less time)."""
     if compute_dtype is not None:
         params = jax.tree_util.tree_map(
             lambda p: p.astype(compute_dtype), params)
@@ -370,10 +405,16 @@ def flowavenet_reverse(params, cfg: FlowavenetConfig, z, c, rng=None,
                 axis=-1)
             eps = z_list[(i + 1) // cfg.block_per_split - 1]
             x = jnp.concatenate([x, mean + jnp.exp(log_sd) * eps], -1)
-        def flow_body(carry, flow, net_cfg=net_cfg):
+        # fuse only while the stacked coupling weights (dominated by the
+        # 2x cin x G conditioning projections) stay VMEM-resident
+        fuse_here = (use_fused and z.shape[0] == 1
+                     and net_cfg.cin_channels <= 1024)
+
+        def flow_body(carry, flow, net_cfg=net_cfg, fuse=fuse_here):
             x, c = carry
             x, c = _change_order(x, c)
-            x = _coupling_reverse(flow["coupling"], net_cfg, x, c, cfg.affine)
+            x = _coupling_reverse(flow["coupling"], net_cfg, x, c, cfg.affine,
+                                  use_fused=fuse, interpret=interpret)
             x = actnorm_reverse(flow["actnorm"], x)
             return (x, c), None
 

@@ -212,6 +212,142 @@ def fused_block_chain_tiled(x, c_up, stacked, layers=6, kernel_size=3,
     return xo[:T], sk[:T]
 
 
+def _chain_kernel_nc(x_ref, c_ref, wf_ref, wg_ref, wfc_ref, wgc_ref,
+                     wres_ref, wskip_ref, bf_ref, bg_ref, bres_ref,
+                     bskip_ref, xout_ref, skip_ref, *, layers, kernel_size,
+                     dilations, halo, tile, seq_len):
+    """One overlapping window of a NON-CAUSAL chain (symmetric conv pad).
+
+    The window is ``tile + 2*halo`` rows of the globally zero-padded input;
+    ``halo = sum(dilations)*(k-1)//2`` covers the chain's receptive field,
+    so the central ``tile`` rows are exact (classic halo tiling — the only
+    recompute is the 2*halo margin, <1% at flow scale).  Rows outside the
+    global ``[0, seq_len)`` range are re-zeroed after every layer so deeper
+    layers see exactly the per-layer zero padding of the reference's
+    symmetric convs (modules.conv_apply mode=SAME, causal=False).
+    """
+    from jax.experimental import pallas as pl
+
+    f32 = jnp.float32
+    W = x_ref.shape[1]
+    w_id = pl.program_id(0)
+
+    # global position of each window row; True where a real sample lives
+    g = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0) + w_id * tile - halo
+    valid = jnp.logical_and(g >= 0, g < seq_len)
+
+    x = x_ref[0]
+    c = c_ref[0]
+    dtype = x.dtype
+    zero = jnp.zeros((), dtype)
+    skip = jnp.zeros((W, wskip_ref.shape[-1]), f32)
+    sqrt_half = jnp.asarray(math.sqrt(0.5), f32)
+    for l in range(layers):
+        d = dilations[l]
+        hf = (jnp.dot(c, wfc_ref[l], preferred_element_type=f32)
+              + bf_ref[l])
+        hg = (jnp.dot(c, wgc_ref[l], preferred_element_type=f32)
+              + bg_ref[l])
+        for j in range(kernel_size):
+            off = (j - (kernel_size - 1) // 2) * d   # tap offset, centred
+            xs = _shift_signed(x, off)
+            hf = hf + jnp.dot(xs, wf_ref[l, j], preferred_element_type=f32)
+            hg = hg + jnp.dot(xs, wg_ref[l, j], preferred_element_type=f32)
+        out = (jnp.tanh(hf) * jax.nn.sigmoid(hg)).astype(dtype)
+        skip = skip + (jnp.dot(out, wskip_ref[l],
+                               preferred_element_type=f32) + bskip_ref[l])
+        res = jnp.dot(out, wres_ref[l], preferred_element_type=f32) \
+            + bres_ref[l]
+        x = ((x.astype(f32) + res) * sqrt_half).astype(dtype)
+        # re-impose the global zero padding for the next layer's taps
+        x = jnp.where(valid, x, zero)
+    xout_ref[0] = jax.lax.slice_in_dim(x, halo, halo + tile, axis=0)
+    skip_ref[0] = jax.lax.slice_in_dim(skip, halo, halo + tile, axis=0)
+
+
+def _shift_signed(x, off):
+    """x[t] <- x[t + off] within the window, zero-filled at the edges."""
+    if off == 0:
+        return x
+    z = jnp.zeros((abs(off), x.shape[1]), x.dtype)
+    if off > 0:
+        return jnp.concatenate([x[off:], z], axis=0)
+    return jnp.concatenate([z, x[:off]], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("layers", "kernel_size",
+                                             "dilations", "tile",
+                                             "interpret"))
+def fused_block_chain_nc(x, c_up, stacked, layers=2, kernel_size=3,
+                         dilations=None, tile=2048, interpret=False):
+    """Non-causal fused chain (FloWaveNet coupling nets) via halo windows.
+
+    Unlike the causal tiled kernel there is no sequential carry: every
+    window loads its ``tile + 2*halo`` rows of the zero-padded input
+    (built host-side with one gather) and recomputes only the halo margin
+    — sum(dilations) rows each side, e.g. 3 for the flow couplings'
+    (1, 2) chain.  ``dilations`` defaults to the clarinet convention
+    ``kernel_size**(i % layers)``; FloWaveNet passes ``2**(i % layers)``
+    (model.py CouplingNetConfig.dilation).
+
+    x: (T, C_res); c_up: (T, cin); returns (new_x (T, C), skip (T, S) f32).
+    Reference structure: src/flow_wavenet/modules.py WaveNet (non-causal,
+    symmetric SAME padding) as used by src/flow_wavenet/model.py:81-120.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, C = x.shape
+    S = stacked["wskip"].shape[-1]
+    cin = c_up.shape[-1]
+    if dilations is None:
+        dilations = tuple(kernel_size ** (i % layers) for i in range(layers))
+    halo = sum(dilations) * (kernel_size - 1) // 2
+    tile = min(tile, -(-T // 8) * 8)
+    n_win = -(-T // tile)
+    P = n_win * tile
+    W = tile + 2 * halo
+
+    # zero-pad globally, then gather overlapping windows (one HBM pass;
+    # the extra traffic is 2*halo/tile, <1% at flow scale)
+    idx = (jnp.arange(n_win) * tile)[:, None] + jnp.arange(W)[None]
+    xw = jnp.pad(x, ((halo, halo + (P - T)), (0, 0)))[idx]
+    cw = jnp.pad(c_up, ((halo, halo + (P - T)), (0, 0)))[idx]
+
+    kernel = functools.partial(_chain_kernel_nc, layers=layers,
+                               kernel_size=kernel_size,
+                               dilations=tuple(dilations), halo=halo,
+                               tile=tile, seq_len=T)
+
+    def w_map(i):
+        return (i, 0, 0)
+
+    def whole(a):
+        def m(i):
+            return tuple(0 for _ in a.shape)
+        return pl.BlockSpec(a.shape, m, memory_space=pltpu.VMEM)
+
+    xo, sk = pl.pallas_call(
+        kernel,
+        grid=(n_win,),
+        in_specs=[pl.BlockSpec((1, W, C), w_map, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, W, cin), w_map, memory_space=pltpu.VMEM)]
+        + [whole(stacked[k]) for k in ("wf", "wg", "wfc", "wgc", "wres",
+                                       "wskip", "bf", "bg", "bres",
+                                       "bskip")],
+        out_specs=(pl.BlockSpec((1, tile, C), w_map,
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, tile, S), w_map,
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((n_win, tile, C), x.dtype),
+                   jax.ShapeDtypeStruct((n_win, tile, S), jnp.float32)),
+        interpret=interpret,
+    )(xw, cw, stacked["wf"], stacked["wg"], stacked["wfc"], stacked["wgc"],
+      stacked["wres"], stacked["wskip"], stacked["bf"], stacked["bg"],
+      stacked["bres"], stacked["bskip"])
+    return (xo.reshape(P, C)[:T], sk.reshape(P, S)[:T])
+
+
 @functools.partial(jax.jit, static_argnames=("layers", "kernel_size",
                                              "interpret"))
 def fused_block_chain(x, c_up, stacked, layers=6, kernel_size=3,

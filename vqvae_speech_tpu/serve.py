@@ -324,9 +324,13 @@ class BucketedParallelSynthesisServer:
     temp : scale on z (the flow literature's sampling temperature;
         reference flow_wavenet/synthesize.py:60 uses 0.8).
     compute_dtype : e.g. jnp.bfloat16 for the MXU path (RESULTS.md).
-    use_fused_chain : iaf_student + max_batch=1 only — run each flow's
-        resblock chains as tiled Pallas kernels (the single-stream latency
-        configuration; measured 1.216x over the XLA chain).
+    use_fused_chain : max_batch=1 only — run the vocoder's resblock
+        chains as fused Pallas kernels (causal tiled for iaf_student,
+        non-causal halo windows for flowavenet).  MEASURED (RESULTS.md):
+        iaf_student 1.72x end-to-end — the recommended single-stream
+        configuration; flowavenet 0.94x at paper scale (XLA's non-causal
+        batch-1 convs are already MXU-efficient; the option is kept for
+        A/B and future tile tuning, not as a speedup).
     """
 
     def __init__(self, kind: str, params, cfg, *,
@@ -342,9 +346,9 @@ class BucketedParallelSynthesisServer:
                                       or teacher_cfg is None):
             raise ValueError("iaf_student needs teacher_params/teacher_cfg "
                              "for mel upsampling")
-        if use_fused_chain and (kind != "iaf_student" or max_batch != 1):
-            raise ValueError("use_fused_chain is the iaf_student "
-                             "single-stream (max_batch=1) path")
+        if use_fused_chain and max_batch != 1:
+            raise ValueError("use_fused_chain is the single-stream "
+                             "(max_batch=1) path")
         self._kind = kind
         self._params = params
         self._cfg = cfg
@@ -378,10 +382,15 @@ class BucketedParallelSynthesisServer:
         if self._kind == "flowavenet":
             from vqvae_speech_tpu.models.flowavenet import flowavenet_reverse
 
+            fused_interpret = (self._use_fused_chain
+                               and jax.default_backend() == "cpu")
+
             def run(params, _tp, z, c):
                 return flowavenet_reverse(
                     params, self._cfg, z, c,
-                    compute_dtype=self._compute_dtype)
+                    compute_dtype=self._compute_dtype,
+                    use_fused=self._use_fused_chain,
+                    interpret=fused_interpret)
         else:
             from vqvae_speech_tpu.models.clarinet import (
                 gaussian_wavenet_upsample, wavenet_student_generate)
