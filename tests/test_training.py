@@ -213,3 +213,39 @@ def test_mixed_precision_training(tmp_path):
                                         "mp")
     assert all(np.isfinite(l["loss"]) for l in losses)
     assert losses[-1]["loss"] < losses[0]["loss"]
+
+
+def test_jitter_gradient_detach_config_threads_to_the_step():
+    """`jitter_gradient_detach` (PARITY #34 knob) must actually switch the
+    gradient semantics inside the jitted train step: with detach (default)
+    the encoder gradient through the decoder's recon loss is cut ~8x vs
+    the flow-gradient extension; values (losses) are identical for the
+    same rng."""
+    import jax
+    import jax.numpy as jnp
+    from vqvae_speech_tpu.models import conv_vqvae_init
+    from vqvae_speech_tpu.models.conv_vqvae import conv_vqvae_apply
+
+    cfg = dict(TINY_CFG, use_jitter=True, jitter_probability=0.12)
+    key = jax.random.PRNGKey(0)
+    params, mstate = conv_vqvae_init(key, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 39))
+    rng = jax.random.PRNGKey(7)
+
+    def recon_loss(p, c):
+        out = conv_vqvae_apply(p, mstate, x, c, training=True, rng=rng)
+        return jnp.mean(jnp.square(out.reconstructed_x)), out
+
+    outs = {}
+    grads = {}
+    for name, detach in (("detach", True), ("flow", False)):
+        c = dict(cfg, jitter_gradient_detach=detach)
+        (loss, out), g = jax.value_and_grad(
+            lambda p: recon_loss(p, c), has_aux=True)(params)
+        outs[name] = float(loss)
+        enc = g["encoder"]["conv_1"]["w"]
+        grads[name] = float(jnp.linalg.norm(enc))
+    # identical forward values (same rng -> same jitter pattern)
+    assert outs["detach"] == outs["flow"], outs
+    # detached semantics pass far less recon gradient into the encoder
+    assert grads["detach"] < 0.5 * grads["flow"], grads
