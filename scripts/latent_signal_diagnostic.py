@@ -1,0 +1,163 @@
+"""Where does the phone signal die: encoder latents or codebook assignment?
+
+Follow-up to scripts/corpus_ari_ceiling.py (raw MFCC k-means(44) ARI is
+0.27-0.52, trained codes score ~0.002): load a TRAINED flagship checkpoint
+and score, against the same TextGrid labels at the latent time resolution,
+
+  1. k-means(44) on the PRE-VQ encoder latents z  (does the encoder keep it?)
+  2. the model's actual codebook assignments       (does VQ keep it?)
+  3. k-means(44) on the quantized vectors' codebook rows is (2) by def.
+
+If (1) >> (2), the codebook assignment—not the encoder—discards the phone
+structure; if (1) is already at chance, the reconstruction objective never
+put it in the latents.  CPU-only; reads an existing quality_run_flagship
+root.
+
+Usage: python scripts/latent_signal_diagnostic.py \
+           [--root quality_run_flagship] [--seed 1234]
+"""
+import argparse
+import json
+import os
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="quality_run_flagship")
+    ap.add_argument("--seed", default="1234")
+    ap.add_argument("--name", default="phonemes_flagship")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import yaml
+    from sklearn.metrics import (adjusted_rand_score,
+                                 adjusted_mutual_info_score,
+                                 normalized_mutual_info_score)
+    from vqvae_speech_tpu.data.feature_store import (
+        FeatureStore, load_normalizer)
+    from vqvae_speech_tpu.models.conv_vqvae import conv_vqvae_encode
+    from vqvae_speech_tpu.train.checkpoint import (
+        find_checkpoints, load_checkpoint)
+
+    with open(os.path.join(args.root, "base.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    exp = f"{args.name}-seed{args.seed}"
+    ckpts = find_checkpoints(os.path.join(args.root, "experiments"), exp)
+    params, model_state = (lambda c: (c["params"], c["model_state"]))(
+        load_checkpoint(ckpts[-1][1]))
+
+    store = FeatureStore(os.path.join(args.root, "features"))
+    norm = load_normalizer(os.path.join(args.root, "stats.pickle"))
+    data = store.open("val")
+    meta = store.metadata("val")
+    wavs = meta.get("wav_filenames", [])
+    feats = np.asarray(data["input_features"], np.float32)
+    feats = ((feats - norm["train_mean"]) / norm["train_std"]).astype(
+        np.float32)
+
+    # labels at the latent resolution: latent step t covers input frames
+    # [2t, 2t+1] (stride-2 encoder); frame f centers at (f*160+200)/rate
+    import re
+    tg_root = os.path.join(args.root, "raw", "VCTK-Corpus", "phonemes")
+
+    def utt_marks(key):
+        spk = key.split("_")[0]
+        tg = open(os.path.join(tg_root, spk, key + ".TextGrid")).read()
+        marks = []
+        for block in tg.split("intervals [")[1:]:
+            lines = block.splitlines()
+            xmin = float(lines[1].split("=")[1])
+            xmax = float(lines[2].split("=")[1])
+            text = lines[3].split('"')[1]
+            if text and text != "utt":
+                marks.append((xmin, xmax, text))
+        return marks
+
+    zs, codes, labels = [], [], []
+    B = 32
+    for start in range(0, feats.shape[0], B):
+        chunk = jnp.asarray(feats[start:start + B])
+        out = conv_vqvae_encode(params, model_state, chunk, cfg,
+                                training=False)
+        # pre-VQ latents: recover from the quantized/indices contract —
+        # encode returns quantized + indices; recompute z via the encoder
+        from vqvae_speech_tpu.models.encoder import (
+            convolutional_encoder_apply)
+        from vqvae_speech_tpu.nn.conv import conv1d
+        h = convolutional_encoder_apply(
+            params["encoder"], chunk,
+            num_residual_layers=cfg["num_residual_layers"])
+        z = conv1d(params["pre_vq_conv"], h, padding=1)
+        idx = np.asarray(out.indices).reshape(chunk.shape[0], -1)
+        for i in range(chunk.shape[0]):
+            gi = start + i
+            key = (os.path.basename(wavs[gi]).rsplit(".", 1)[0]
+                   if gi < len(wavs) else None)
+            if key is None:
+                continue
+            marks = utt_marks(key)
+            Tl = z.shape[1]
+            for t in range(Tl):
+                center = (2 * t * 160 + 360) / cfg["sampling_rate"]
+                lab = None
+                for a, b, ph in marks:
+                    if a <= center < b:
+                        lab = ph
+                        break
+                if lab is None:
+                    continue
+                zs.append(np.asarray(z[i, t]))
+                codes.append(int(idx[i, t]))
+                labels.append(lab)
+
+    Z = np.stack(zs)
+    truth = np.asarray([hash(l) % (1 << 30) for l in labels])
+    codes = np.asarray(codes)
+
+    def kmeans(F, k, seed, iters=50):
+        rng = np.random.default_rng(seed)
+        cents = F[rng.choice(len(F), k, replace=False)]
+        for _ in range(iters):
+            d = ((F[:, None] - cents[None]) ** 2).sum(-1)
+            a = np.argmin(d, 1)
+            new = np.stack([F[a == j].mean(0) if (a == j).any()
+                            else cents[j] for j in range(k)])
+            if np.allclose(new, cents):
+                break
+            cents = new
+        return a
+
+    def score(a):
+        return {"ari": round(float(adjusted_rand_score(truth, a)), 5),
+                "ami": round(float(adjusted_mutual_info_score(truth, a)), 5),
+                "nmi": round(float(
+                    normalized_mutual_info_score(truth, a)), 5)}
+
+    K = cfg["num_embeddings"]
+    Zn = (Z - Z.mean(0)) / (Z.std(0) + 1e-8)
+    res = {
+        "frames": int(len(Z)),
+        "n_label_classes": int(len(set(labels))),
+        "codebook_assignment": score(codes),
+        "kmeans_on_prevq_latents": {
+            str(s): score(kmeans(Zn, K, s)) for s in (0, 1, 2)},
+        "effective_codes_used": int(len(set(codes.tolist()))),
+    }
+    print(json.dumps(res, indent=1))
+    out = args.out or os.path.join(args.root,
+                                   f"latent_diagnostic_seed{args.seed}.json")
+    with open(out, "w") as f:
+        json.dump(res, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
