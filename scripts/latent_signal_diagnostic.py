@@ -144,13 +144,21 @@ def main():
 
     K = cfg["num_embeddings"]
     Zn = (Z - Z.mean(0)) / (Z.std(0) + 1e-8)
+
+    # eval-side codebook refit (X extension, eval/codebook_refit.py):
+    # k-means over the RAW latents initialized at the trained codebook
+    from vqvae_speech_tpu.eval.codebook_refit import kmeans_refit
+    _, refit_assign = kmeans_refit(params["vq"]["codebook"], Z)
+
     res = {
         "frames": int(len(Z)),
         "n_label_classes": int(len(set(labels))),
         "codebook_assignment": score(codes),
+        "codebook_refit_assignment": score(refit_assign),
         "kmeans_on_prevq_latents": {
             str(s): score(kmeans(Zn, K, s)) for s in (0, 1, 2)},
         "effective_codes_used": int(len(set(codes.tolist()))),
+        "effective_codes_after_refit": int(len(set(refit_assign.tolist()))),
     }
     print(json.dumps(res, indent=1))
     out = args.out or os.path.join(args.root,

@@ -1,0 +1,41 @@
+"""Eval-side codebook refit (X extension — see eval/codebook_refit.py)."""
+import numpy as np
+
+from vqvae_speech_tpu.eval.codebook_refit import kmeans_refit
+
+
+def test_refit_recovers_separated_clusters():
+    rng = np.random.default_rng(0)
+    true_centers = rng.standard_normal((6, 8)) * 10.0
+    X = np.concatenate([c + 0.1 * rng.standard_normal((50, 8))
+                        for c in true_centers])
+    # start from a poor codebook: tiny uniform rows (the reference's
+    # gradient-VQ init scale), far from the data
+    init = rng.uniform(-1 / 6, 1 / 6, (6, 8))
+    cents, assign = kmeans_refit(init, X, iters=100)
+    # every true cluster maps to exactly one code, all codes live
+    assert len(set(assign.tolist())) == 6
+    for j in range(6):
+        block = assign[j * 50:(j + 1) * 50]
+        assert len(set(block.tolist())) == 1
+    # centers land on the true ones (order-free)
+    d = ((cents[:, None] - true_centers[None]) ** 2).sum(-1)
+    assert float(d.min(axis=1).max()) < 0.1
+
+
+def test_refit_handles_dead_codes():
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((40, 4))
+    init = np.concatenate([X[:3], 1e6 * np.ones((2, 4))])  # 2 dead rows
+    cents, assign = kmeans_refit(init, X, iters=100)
+    assert len(set(assign.tolist())) == 5     # dead codes re-seeded
+    assert np.isfinite(cents).all()
+
+
+def test_refit_preserves_dtype_and_shapes():
+    rng = np.random.default_rng(2)
+    cb = rng.standard_normal((8, 16)).astype(np.float32)
+    X = rng.standard_normal((100, 16)).astype(np.float32)
+    cents, assign = kmeans_refit(cb, X)
+    assert cents.shape == cb.shape and cents.dtype == np.float32
+    assert assign.shape == (100,)

@@ -1,0 +1,105 @@
+"""Eval-side codebook refit (X — extension, no reference counterpart).
+
+Motivation (RESULTS.md, latent signal diagnostic): at the flagship
+configuration the trained ENCODER's pre-VQ latents carry phone structure at
+reference-headline level (k-means(44) ARI ~0.05) while the gradient-VQ
+codebook's nearest-neighbor tessellation — shaped for reconstruction, not
+clustering — scores ~0.002.  Refitting the codebook rows to the latent
+cloud with k-means (initialized from the trained codebook, so surviving
+codes keep their identity) recovers that clustering headroom WITHOUT
+touching the trained parameters: this is an analysis-time view, the model
+itself is unchanged.
+
+Used by scripts/latent_signal_diagnostic.py and available to the evaluator
+for alignment studies on refit code streams.
+"""
+import numpy as np
+
+__all__ = ["kmeans_refit", "collect_latents"]
+
+
+def collect_latents(params, model_state, feats_normalized, cfg,
+                    batch_size: int = 32):
+    """Pre-VQ latents z for a (N, T, F) normalized feature array ->
+    (N, T_lat, D) numpy."""
+    import jax.numpy as jnp
+    from vqvae_speech_tpu.models.encoder import convolutional_encoder_apply
+    from vqvae_speech_tpu.nn.conv import conv1d
+
+    out = []
+    for start in range(0, feats_normalized.shape[0], batch_size):
+        chunk = jnp.asarray(feats_normalized[start:start + batch_size])
+        h = convolutional_encoder_apply(
+            params["encoder"], chunk,
+            num_residual_layers=cfg["num_residual_layers"])
+        z = conv1d(params["pre_vq_conv"], h, padding=1)
+        out.append(np.asarray(z))
+    return np.concatenate(out, axis=0)
+
+
+def kmeans_refit(codebook, latents_flat, iters: int = 50, seed: int = 0):
+    """k-means over ``latents_flat`` (M, D), initialized at the trained
+    ``codebook`` (K, D).  Returns (new_codebook, assignments).
+
+    Runs Lloyd's twice — once seeded at the trained codebook (so surviving
+    codes keep their identity when that init is good) and once with
+    k-means++ (escapes the merge/split local optima a degenerate codebook
+    init can't) — and keeps the lower-inertia solution.  Dead codes are
+    re-seeded at distinct worst-served latents each iteration.
+    """
+    X = np.asarray(latents_flat, dtype=np.float64)
+    K = np.asarray(codebook).shape[0]
+
+    best = None
+    for init_name in ("codebook", "kmeans++"):
+        if init_name == "codebook":
+            init = np.array(codebook, dtype=np.float64, copy=True)
+        else:
+            init = _kmeanspp_init(X, K, seed)
+        cents, assign = _lloyd(init, X, iters, seed)
+        inertia = float(((X - cents[assign]) ** 2).sum())
+        if best is None or inertia < best[0]:
+            best = (inertia, cents, assign)
+    _, cents, assign = best
+    return cents.astype(np.asarray(codebook).dtype), assign
+
+
+def _kmeanspp_init(X, K, seed):
+    rng = np.random.default_rng(seed)
+    cents = [X[rng.integers(len(X))]]
+    for _ in range(K - 1):
+        d = np.min(((X[:, None] - np.stack(cents)[None]) ** 2).sum(-1),
+                   axis=1)
+        p = d / max(d.sum(), 1e-12)
+        cents.append(X[rng.choice(len(X), p=p)])
+    return np.stack(cents)
+
+
+def _lloyd(cents, X, iters, seed):
+    rng = np.random.default_rng(seed)
+    cents = np.array(cents, dtype=np.float64, copy=True)
+    K = cents.shape[0]
+    for _ in range(iters):
+        d = ((X[:, None] - cents[None]) ** 2).sum(-1)
+        a = np.argmin(d, axis=1)
+        moved = False
+        dead = [j for j in range(K) if not (a == j).any()]
+        if dead:
+            # re-seed ALL dead codes at DISTINCT worst-served latents
+            # (one shared point would collapse them right back together)
+            order = np.argsort(-d[np.arange(len(X)), a])
+            for j, idx in zip(dead, order[: len(dead)]):
+                cents[j] = X[int(idx)] + 1e-6 * rng.standard_normal(
+                    X.shape[1])
+            moved = True
+        for j in range(K):
+            sel = a == j
+            if sel.any():
+                nc = X[sel].mean(0)
+                if not np.allclose(nc, cents[j]):
+                    moved = True
+                cents[j] = nc
+        if not moved:
+            break
+    d = ((X[:, None] - cents[None]) ** 2).sum(-1)
+    return cents, np.argmin(d, axis=1)
