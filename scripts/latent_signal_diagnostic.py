@@ -27,16 +27,13 @@ sys.path.insert(0, REPO_ROOT)
 import numpy as np
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--root", default="quality_run_flagship")
-    ap.add_argument("--seed", default="1234")
-    ap.add_argument("--name", default="phonemes_flagship")
-    ap.add_argument("--out", default=None)
-    args = ap.parse_args()
-
+def diagnose(root, seed, name="phonemes_flagship", force_cpu=True):
+    """Returns the diagnostic dict for a trained checkpoint under ``root``;
+    importable (scripts/quality_run_tpu.py embeds the refit scores in the
+    flagship gate artifact)."""
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import yaml
     from sklearn.metrics import (adjusted_rand_score,
@@ -48,15 +45,15 @@ def main():
     from vqvae_speech_tpu.train.checkpoint import (
         find_checkpoints, load_checkpoint)
 
-    with open(os.path.join(args.root, "base.yaml")) as f:
+    with open(os.path.join(root, "base.yaml")) as f:
         cfg = yaml.safe_load(f)
-    exp = f"{args.name}-seed{args.seed}"
-    ckpts = find_checkpoints(os.path.join(args.root, "experiments"), exp)
+    exp = f"{name}-seed{str(seed)}"
+    ckpts = find_checkpoints(os.path.join(root, "experiments"), exp)
     params, model_state = (lambda c: (c["params"], c["model_state"]))(
         load_checkpoint(ckpts[-1][1]))
 
-    store = FeatureStore(os.path.join(args.root, "features"))
-    norm = load_normalizer(os.path.join(args.root, "stats.pickle"))
+    store = FeatureStore(os.path.join(root, "features"))
+    norm = load_normalizer(os.path.join(root, "stats.pickle"))
     data = store.open("val")
     meta = store.metadata("val")
     wavs = meta.get("wav_filenames", [])
@@ -67,7 +64,7 @@ def main():
     # labels at the latent resolution: latent step t covers input frames
     # [2t, 2t+1] (stride-2 encoder); frame f centers at (f*160+200)/rate
     import re
-    tg_root = os.path.join(args.root, "raw", "VCTK-Corpus", "phonemes")
+    tg_root = os.path.join(root, "raw", "VCTK-Corpus", "phonemes")
 
     def utt_marks(key):
         spk = key.split("_")[0]
@@ -160,9 +157,20 @@ def main():
         "effective_codes_used": int(len(set(codes.tolist()))),
         "effective_codes_after_refit": int(len(set(refit_assign.tolist()))),
     }
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="quality_run_flagship")
+    ap.add_argument("--seed", default="1234")
+    ap.add_argument("--name", default="phonemes_flagship")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    res = diagnose(args.root, args.seed, args.name)
     print(json.dumps(res, indent=1))
-    out = args.out or os.path.join(args.root,
-                                   f"latent_diagnostic_seed{args.seed}.json")
+    out = args.out or os.path.join(
+        args.root, f"latent_diagnostic_seed{args.seed}.json")
     with open(out, "w") as f:
         json.dump(res, f, indent=2)
 
