@@ -240,8 +240,10 @@ def _stop_segment(name, dur, rate, rng, spk):
     brief aspiration tail."""
     band, voiced = STOP_SPECS[name]
     n_clo = int(0.5 * dur)
-    n_burst = max(8, int(0.22 * dur))
-    n_asp = dur - n_clo - n_burst
+    # the utterance assembler truncates the final segment to whatever
+    # remains, so every piece must clamp to the (possibly tiny) dur
+    n_burst = min(max(8, int(0.22 * dur)), dur - n_clo)
+    n_asp = max(0, dur - n_clo - n_burst)
     closure = np.zeros(n_clo)
     if voiced and n_clo > 0:
         # voice bar: low-frequency murmur through the closure
