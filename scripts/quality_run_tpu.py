@@ -208,8 +208,10 @@ def run(root, spec, name):
     metric_names = next(iter(per_seed.values()))["scores"].keys()
     medians = {m: float(np.median([s["scores"][m] for s in per_seed.values()]))
                for m in metric_names}
+    import jax
     summary = {
         "config": name,
+        "platform": jax.default_backend(),
         "wall_s": round(time.time() - t0, 1),
         "seeds": per_seed,
         "median_scores": {k: round(v, 5) for k, v in medians.items()},
@@ -240,7 +242,16 @@ def main():
     ap.add_argument("--utt-seconds", type=float, default=None,
                     help="flagship corpus utterance length override (s)")
     ap.add_argument("--root", default="quality_run")
+    ap.add_argument("--force-cpu", action="store_true",
+                    help="run on the host CPU backend (fallback when the "
+                         "chip tunnel is down; the artifact records its "
+                         "platform either way)")
     args = ap.parse_args()
+    if args.force_cpu:
+        import jax as _jax
+        # the axon plugin overrides JAX_PLATFORMS; the config update is
+        # what actually forces CPU (see tests/conftest.py)
+        _jax.config.update("jax_platforms", "cpu")
     # The reference trains in true f32 (CUDA); TPU's default matmul precision
     # is bf16-class, which measurably changes small-model trajectories.
     import jax
