@@ -91,15 +91,19 @@ void pcm16_to_float(const int16_t* x, int64_t n, float* out) {
 // n_frames = max((int)((n - N - tol) / (N/2 * tempo)), 1).
 // Returns the produced length (after tail trim and target clamp),
 // or -1 when the input is returned unchanged (caller copies).
-int64_t wsola_time_stretch(const float* x, int64_t n, float tempo,
-                           int rate, float win_ms, float tol_ms,
+//
+// tempo/win_ms/tol_ms are doubles so this n_frames expression is the
+// SAME double arithmetic the Python caller sizes `out` with — a float32
+// tempo here could truncate to a larger n_frames and overrun the buffer.
+int64_t wsola_time_stretch(const float* x, int64_t n, double tempo,
+                           int rate, double win_ms, double tol_ms,
                            float* out) {
-    int N = (int)std::lround((double)win_ms * rate / 1000.0) & ~1;
+    int N = (int)std::lround(win_ms * rate / 1000.0) & ~1;
     if (N < 4) N = 4;
-    if (std::fabs(tempo - 1.0f) < 1e-6f || n <= N) return -1;
+    if (std::fabs(tempo - 1.0) < 1e-6 || n <= N) return -1;
     const int Hs = N / 2;
     const double Ha = (double)Hs * tempo;
-    int tol = (int)std::lround((double)tol_ms * rate / 1000.0);
+    int tol = (int)std::lround(tol_ms * rate / 1000.0);
     if (tol < 1) tol = 1;
 
     int64_t n_frames = (int64_t)(((double)n - N - tol) / Ha);
@@ -116,7 +120,12 @@ int64_t wsola_time_stretch(const float* x, int64_t n, float tempo,
     int64_t seg_start = 0;
     for (int i = 0; i < N; ++i) { out[i] = win[i] * x[i]; norm[i] = win[i]; }
     for (int64_t k = 1; k < n_frames; ++k) {
+        // numpy mirror: x[seg_start+Hs : seg_start+Hs+N] CLAMPS at the
+        // input end (slow tempos push the continuation template past n),
+        // so the correlation runs over the truncated template length
         const float* natural = x + seg_start + Hs;
+        const int nat_len =
+            (int)std::min<int64_t>(N, n - (seg_start + Hs));
         // python int(round(k * Ha)) rounds half-to-even: nearbyint does
         // too under the default FE_TONEAREST mode
         const int64_t nominal = (int64_t)std::nearbyint(k * Ha);
@@ -131,7 +140,8 @@ int64_t wsola_time_stretch(const float* x, int64_t n, float tempo,
             for (int64_t s = lo; s <= hi; ++s) {
                 double acc = 0.0;
                 const float* seg = x + s;
-                for (int i = 0; i < N; ++i) acc += (double)seg[i] * natural[i];
+                for (int i = 0; i < nat_len; ++i)
+                    acc += (double)seg[i] * natural[i];
                 if (acc > best) { best = acc; best_i = s; }
             }
             seg_start = best_i;

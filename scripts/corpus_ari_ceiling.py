@@ -31,6 +31,7 @@ def corpus_frames(builder, root, **kw):
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from scipy.io import wavfile
+    from vqvae_speech_tpu.data.textgrid import phoneme_marks
     from vqvae_speech_tpu.ops import mfcc
 
     dset, phonemes = builder(root, **kw)
@@ -41,16 +42,8 @@ def corpus_frames(builder, root, **kw):
             rate, x = wavfile.read(os.path.join(dset, "wav48", spk, w))
             x = x.astype(np.float32) / 32767.0
             m = np.asarray(mfcc(jnp.asarray(x, jnp.float64)))
-            tg = open(os.path.join(dset, "phonemes", spk,
-                                   key + ".TextGrid")).read()
-            marks = []
-            for block in tg.split("intervals [")[1:]:
-                lines = block.splitlines()
-                xmin = float(lines[1].split("=")[1])
-                xmax = float(lines[2].split("=")[1])
-                text = lines[3].split('"')[1]
-                if text and text != "utt":
-                    marks.append((xmin, xmax, text))
+            marks = phoneme_marks(os.path.join(dset, "phonemes", spk,
+                                                key + ".TextGrid"))
             for t in range(m.shape[0]):
                 center = (t * 160 + 200) / rate
                 for a, b, ph in marks:

@@ -41,7 +41,8 @@ def diagnose(root, seed, name="phonemes_flagship", force_cpu=True):
                                  normalized_mutual_info_score)
     from vqvae_speech_tpu.data.feature_store import (
         FeatureStore, load_normalizer)
-    from vqvae_speech_tpu.models.conv_vqvae import conv_vqvae_encode
+    from vqvae_speech_tpu.eval.codebook_refit import collect_latents
+    from vqvae_speech_tpu.models.vq import vector_quantizer_apply
     from vqvae_speech_tpu.train.checkpoint import (
         find_checkpoints, load_checkpoint)
 
@@ -63,39 +64,26 @@ def diagnose(root, seed, name="phonemes_flagship", force_cpu=True):
 
     # labels at the latent resolution: latent step t covers input frames
     # [2t, 2t+1] (stride-2 encoder); frame f centers at (f*160+200)/rate
-    import re
+    from vqvae_speech_tpu.data.textgrid import phoneme_marks
     tg_root = os.path.join(root, "raw", "VCTK-Corpus", "phonemes")
 
     def utt_marks(key):
         spk = key.split("_")[0]
-        tg = open(os.path.join(tg_root, spk, key + ".TextGrid")).read()
-        marks = []
-        for block in tg.split("intervals [")[1:]:
-            lines = block.splitlines()
-            xmin = float(lines[1].split("=")[1])
-            xmax = float(lines[2].split("=")[1])
-            text = lines[3].split('"')[1]
-            if text and text != "utt":
-                marks.append((xmin, xmax, text))
-        return marks
+        return phoneme_marks(os.path.join(tg_root, spk, key + ".TextGrid"))
 
     zs, codes, labels = [], [], []
     B = 32
+    # one encoder pass for the pre-VQ latents; indices come from quantizing
+    # those same latents (the nearest-neighbor search IS the assignment)
+    Z_all = collect_latents(params, model_state, feats, cfg, batch_size=B)
     for start in range(0, feats.shape[0], B):
-        chunk = jnp.asarray(feats[start:start + B])
-        out = conv_vqvae_encode(params, model_state, chunk, cfg,
-                                training=False)
-        # pre-VQ latents: recover from the quantized/indices contract —
-        # encode returns quantized + indices; recompute z via the encoder
-        from vqvae_speech_tpu.models.encoder import (
-            convolutional_encoder_apply)
-        from vqvae_speech_tpu.nn.conv import conv1d
-        h = convolutional_encoder_apply(
-            params["encoder"], chunk,
-            num_residual_layers=cfg["num_residual_layers"])
-        z = conv1d(params["pre_vq_conv"], h, padding=1)
-        idx = np.asarray(out.indices).reshape(chunk.shape[0], -1)
-        for i in range(chunk.shape[0]):
+        z = jnp.asarray(Z_all[start:start + B])
+        out = vector_quantizer_apply(
+            params["vq"], model_state["vq"], z,
+            commitment_cost=cfg["commitment_cost"], decay=cfg["decay"],
+            training=False)
+        idx = np.asarray(out.indices).reshape(z.shape[0], -1)
+        for i in range(z.shape[0]):
             gi = start + i
             key = (os.path.basename(wavs[gi]).rsplit(".", 1)[0]
                    if gi < len(wavs) else None)

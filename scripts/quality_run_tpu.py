@@ -310,9 +310,13 @@ def main():
         json.dump(combined, f, indent=2)
 
     # parity row: drift-free (e_latent bounded; the old failure mode was
-    # ~1e3) with every seed's clustering above the torch twin's floor
+    # ~1e3), and the clustering signal itself must not regress — median
+    # NMI has measured 0.037 on this config on BOTH cpu and tpu backends
+    # (identical to 5 decimals); 0.02 leaves 2x margin
     for s, row in summary_parity["seeds"].items():
         assert row["final_losses"]["e_latent_loss"] < 2.0, (s, row)
+    assert (summary_parity["median_scores"]
+            ["normalized_mutual_info_score"] > 0.02), summary_parity
     # extension row: median materially above chance (random labels give
     # |ARI| < 0.01 — tests/test_reference_artifacts.py) and AMI at least
     # the reference's REAL-VCTK baseline

@@ -117,11 +117,26 @@ def test_wsola_native_matches_numpy():
     x = (0.5 * np.sin(phase) + 0.2 * np.sin(2 * phase)
          + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
 
-    for tempo in (0.85, 0.95, 1.1, 1.15):
+    # 0.4 exercises the deep-slowdown regime where the natural-continuation
+    # template x[seg_start+Hs:...+N] runs past the input end and must be
+    # truncated exactly like the numpy slice (a full-N read is a heap
+    # over-read); tempos like 0.85 have float32 representations BELOW the
+    # true value, pinning the double-tempo ABI (a float32-degraded tempo
+    # can yield one more frame C++-side than the Python buffer sizing)
+    for tempo in (0.4, 0.45, 0.85, 0.95, 1.1, 1.15):
         got = wsola_time_stretch_native(x, tempo, sr)
         want = wsola_time_stretch(x, tempo, sr, use_native=False)
         assert got.shape == want.shape, (tempo, got.shape, want.shape)
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # sweep odd lengths x irrational-ish tempos: shapes must agree always
+    # (shape agreement IS the n_frames buffer-sizing contract)
+    for n in (12801, 13007, 19960):
+        xn = x[:n]
+        for tempo in np.linspace(0.35, 1.6, 23):
+            got = wsola_time_stretch_native(xn, float(tempo), sr)
+            want = wsola_time_stretch(xn, float(tempo), sr,
+                                      use_native=False)
+            assert got.shape == want.shape, (n, tempo)
     # identity + tiny input fall-throughs
     np.testing.assert_array_equal(wsola_time_stretch_native(x, 1.0, sr), x)
 

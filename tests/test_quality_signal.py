@@ -86,6 +86,7 @@ def test_rich_corpus_is_full_rank_and_class_separable(tmp_path):
     clustering signal must exist for the gate to measure)."""
     from vqvae_speech_tpu.data.synthetic_phonemes import (
         build_rich_phoneme_corpus, RICH_PHONEMES)
+    from vqvae_speech_tpu.data.textgrid import phoneme_marks
     from vqvae_speech_tpu.ops import mfcc
     import jax.numpy as jnp
     from scipy.io import wavfile
@@ -100,17 +101,9 @@ def test_rich_corpus_is_full_rank_and_class_separable(tmp_path):
                 rate, x = wavfile.read(os.path.join(dset, "wav48", spk, w))
                 x = x.astype(np.float32) / 32767.0
                 m = np.asarray(mfcc(jnp.asarray(x, jnp.float64)))
-                # label frames from the txt marks via the TextGrid tier
-                tg = open(os.path.join(dset, "phonemes", spk,
-                                       key + ".TextGrid")).read()
-                marks = []
-                for block in tg.split("intervals [")[1:]:
-                    lines = block.splitlines()
-                    xmin = float(lines[1].split("=")[1])
-                    xmax = float(lines[2].split("=")[1])
-                    text = lines[3].split('"')[1]
-                    if text and text != "utt":
-                        marks.append((xmin, xmax, text))
+                # label frames via the phoneme TextGrid tier
+                marks = phoneme_marks(os.path.join(
+                    dset, "phonemes", spk, key + ".TextGrid"))
                 for t in range(m.shape[0]):
                     center = (t * 160 + 200) / rate
                     for a, b, ph in marks:
@@ -142,5 +135,5 @@ def test_rich_corpus_is_full_rank_and_class_separable(tmp_path):
     pred = np.argmin(d, 1)
     truth = np.asarray([classes.index(l) for l in rich_l])
     acc = float((pred == truth).mean())
-    assert acc > 3.0 / len(RICH_PHONEMES), acc  # >> chance (1/12)
+    assert acc > 3.0 / len(RICH_PHONEMES), acc  # >> chance (1/37)
     assert acc > 0.4, acc

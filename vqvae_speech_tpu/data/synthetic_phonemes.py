@@ -97,8 +97,11 @@ def build_phoneme_corpus(root, num_speakers=2, utts_per_speaker=8,
 #   damped low-formant series,
 # * every segment gets a random attack/decay amplitude envelope + slow AM.
 #
-# 12-phoneme inventory; same corpus tree + TextGrid contract as the flat
-# generator, so the entire export/align/cluster gate runs unchanged.
+# 37-phoneme inventory (RICH_PHONEMES below: vowels, liquids, diphthongs,
+# nasals, fricatives, voiced fricatives, stops — shape-matched to the
+# reference's real task of 44 codes vs ~40 phones); same corpus tree +
+# TextGrid contract as the flat generator, so the entire
+# export/align/cluster gate runs unchanged.
 
 # voiced vowels: (F1, F2, F3) Hz formant targets
 VOWEL_FORMANTS = {

@@ -69,6 +69,16 @@ def read_textgrid(path: str) -> TextGrid:
     return TextGrid(tiers=tiers)
 
 
+def phoneme_marks(path: str, exclude=("utt",)):
+    """All labeled intervals across tiers as (xmin, xmax, mark) tuples,
+    skipping empty marks and ``exclude`` (the synthetic corpus writes an
+    utterance-level tier marked 'utt' above the phoneme tier)."""
+    tg = read_textgrid(path)
+    return [(iv.minTime, iv.maxTime, iv.mark)
+            for tier in tg.tiers for iv in tier
+            if iv.mark and iv.mark not in exclude]
+
+
 def leading_silence_duration(path: str, tier_index: int = 1,
                              sil_mark: str = "sil") -> float:
     """Sum of leading 'sil' interval durations in the phoneme tier

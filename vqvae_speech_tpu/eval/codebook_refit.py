@@ -64,14 +64,23 @@ def kmeans_refit(codebook, latents_flat, iters: int = 50, seed: int = 0):
     return cents.astype(np.asarray(codebook).dtype), assign
 
 
+def _sqdist(X, C):
+    """(M, K) squared distances as ||x||^2 - 2 x.c + ||c||^2 — the direct
+    (M, K, D) broadcast would be 2-22 GB per Lloyd iteration at real-VCTK
+    latent-cloud scale (M ~ 1e5-1e6, K=44, D=64)."""
+    d = ((X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None])
+    return np.maximum(d, 0.0)
+
+
 def _kmeanspp_init(X, K, seed):
     rng = np.random.default_rng(seed)
     cents = [X[rng.integers(len(X))]]
+    # incremental min-distance update: O(K*M*D) total, not O(K^2*M*D)
+    d = _sqdist(X, cents[-1][None])[:, 0]
     for _ in range(K - 1):
-        d = np.min(((X[:, None] - np.stack(cents)[None]) ** 2).sum(-1),
-                   axis=1)
         p = d / max(d.sum(), 1e-12)
         cents.append(X[rng.choice(len(X), p=p)])
+        d = np.minimum(d, _sqdist(X, cents[-1][None])[:, 0])
     return np.stack(cents)
 
 
@@ -80,7 +89,7 @@ def _lloyd(cents, X, iters, seed):
     cents = np.array(cents, dtype=np.float64, copy=True)
     K = cents.shape[0]
     for _ in range(iters):
-        d = ((X[:, None] - cents[None]) ** 2).sum(-1)
+        d = _sqdist(X, cents)
         a = np.argmin(d, axis=1)
         moved = False
         dead = [j for j in range(K) if not (a == j).any()]
@@ -101,5 +110,4 @@ def _lloyd(cents, X, iters, seed):
                 cents[j] = nc
         if not moved:
             break
-    d = ((X[:, None] - cents[None]) ** 2).sum(-1)
-    return cents, np.argmin(d, axis=1)
+    return cents, np.argmin(_sqdist(X, cents), axis=1)

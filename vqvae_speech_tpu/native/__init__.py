@@ -54,10 +54,14 @@ def _load():
         lib.peak_normalize.restype = ctypes.c_float
         lib.peak_normalize.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+        # tempo/win_ms/tol_ms cross as doubles: wsola_time_stretch_native
+        # sizes the output buffer from float64 arithmetic, and the C++ side
+        # must reproduce the exact same n_frames (a float32-degraded tempo
+        # can truncate to one MORE frame and write past the buffer)
         lib.wsola_time_stretch.restype = ctypes.c_int64
         lib.wsola_time_stretch.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
-            ctypes.c_int, ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_double,
+            ctypes.c_int, ctypes.c_double, ctypes.c_double,
             ctypes.POINTER(ctypes.c_float)]
         _lib = lib
     except Exception:
@@ -134,8 +138,8 @@ def wsola_time_stretch_native(x: np.ndarray, tempo: float,
     n_frames = max(int((x.size - N - tol) / Ha), 1)
     out = np.zeros((n_frames - 1) * Hs + N, np.float32)
     produced = lib.wsola_time_stretch(
-        _fptr(x), x.size, ctypes.c_float(tempo), sample_rate,
-        ctypes.c_float(win_ms), ctypes.c_float(tol_ms), _fptr(out))
+        _fptr(x), x.size, ctypes.c_double(tempo), sample_rate,
+        ctypes.c_double(win_ms), ctypes.c_double(tol_ms), _fptr(out))
     if produced < 0:
         return x.copy()
     return out[:produced]
