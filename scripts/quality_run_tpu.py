@@ -140,6 +140,13 @@ def run(root, spec, name):
     from vqvae_speech_tpu.train import Experiments
 
     os.makedirs(root, exist_ok=True)
+    # clean room: an interrupted run at a DIFFERENT corpus scale leaves a
+    # partial raw/ tree that the (additive) builder would merge into a
+    # mixed-scale corpus, and checkpoints the auto-resume would wrongly
+    # continue from; corpus generation is seeded so a rebuild is exact
+    import shutil
+    for sub in ("raw", "features", "experiments", "results"):
+        shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
     t0 = time.time()
     builder = (build_rich_phoneme_corpus
                if spec.get("corpus_builder") == "rich"
