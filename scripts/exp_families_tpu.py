@@ -74,15 +74,28 @@ def main():
     ap.add_argument("family", choices=list(FAMILIES))
     ap.add_argument("--root", default=None)
     ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--force-cpu", action="store_true",
+                    help="run on the host CPU backend (fallback when the "
+                         "chip tunnel is down; the artifact records its "
+                         "platform either way)")
     args = ap.parse_args()
     spec = FAMILIES[args.family]
     root = args.root or f"exp_{args.family}"
 
     import jax
+    if args.force_cpu:
+        # the axon plugin overrides JAX_PLATFORMS; the config update is
+        # what actually forces CPU (see tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
     from vqvae_speech_tpu.train import Experiments
 
     os.makedirs(root, exist_ok=True)
+    # clean room (see quality_run_tpu.run): stale corpora/checkpoints from
+    # an interrupted or differently-configured run must not leak in
+    import shutil
+    for sub in ("raw", "features", "experiments", "results"):
+        shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
     t0 = time.time()
     build_rich_phoneme_corpus(root, **spec["corpus"])
     vctk = VCTK(root, ratio=spec["ratio"], shuffle_seed=0)
@@ -122,6 +135,7 @@ def main():
     from vqvae_speech_tpu.train.checkpoint import (
         find_checkpoints, load_checkpoint)
     summary = {"family": args.family, "seed": args.seed,
+               "platform": jax.default_backend(),
                "corpus": spec["corpus"], "experiments": {}}
     for name in spec["experiments"]:
         ckpts = find_checkpoints(spec_json["experiments_path"], name)
