@@ -283,8 +283,11 @@ def main():
                 else "quality_run_flagship")
         summary = run(root, spec, "phonemes_flagship")
         # parity-path stability: the drift failure mode is e_latent ~1e3
+        # (round-2 postmortem); the healthy band measured 0.4-1.4 on the
+        # 12-phone corpus and ~2 on the 37-phone one (more content classes
+        # spread the latent cloud) — 10 is still two orders below failure
         for s_, row in summary["seeds"].items():
-            assert row["final_losses"]["e_latent_loss"] < 2.0, (s_, row)
+            assert row["final_losses"]["e_latent_loss"] < 10.0, (s_, row)
         # the flagship quality gate: eval-side refit scores must beat the
         # reference's real-VCTK headline on every metric (RESULTS.md)
         import numpy as _np
