@@ -39,3 +39,22 @@ def test_refit_preserves_dtype_and_shapes():
     cents, assign = kmeans_refit(cb, X)
     assert cents.shape == cb.shape and cents.dtype == np.float32
     assert assign.shape == (100,)
+
+
+def test_sqdist_matches_bruteforce():
+    """The expanded-norm distance form (||x||^2 - 2xc + ||c||^2 — used so
+    real-VCTK-scale latent clouds never materialize an (M, K, D) float64
+    broadcast) must agree with the direct form to fp roundoff and never
+    go negative."""
+    from vqvae_speech_tpu.eval.codebook_refit import _sqdist
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((200, 64)) * 5.0
+    C = rng.standard_normal((44, 64)) * 5.0
+    want = ((X[:, None] - C[None]) ** 2).sum(-1)
+    got = _sqdist(X, C)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-8)
+    assert (got >= 0).all()
+    # near-duplicate points: cancellation must clamp at 0, not go negative
+    Xd = np.repeat(C[:5], 3, axis=0) + 1e-9
+    assert (_sqdist(Xd, C) >= 0).all()
