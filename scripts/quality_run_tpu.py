@@ -239,6 +239,11 @@ def main():
     ap.add_argument("--flagship", action="store_true",
                     help="run ONLY the flagship 768/44 gate on the rich "
                          "corpus (skip the width-24 smoke)")
+    ap.add_argument("--flow-gradient", action="store_true",
+                    help="flagship variant with the live-gather jitter "
+                         "extension (jitter_gradient_detach: false) — the "
+                         "w24 gate's 'flow_gradient_extension' row at "
+                         "flagship scale")
     ap.add_argument("--seeds", default=None,
                     help="comma-separated seed override (flagship probing)")
     ap.add_argument("--epochs", type=int, default=None)
@@ -265,6 +270,9 @@ def main():
     jax.config.update("jax_default_matmul_precision", "highest")
     if args.flagship:
         spec = dict(FLAGSHIP)
+        if args.flow_gradient:
+            spec["overrides"] = dict(spec["overrides"],
+                                     jitter_gradient_detach=False)
         if args.seeds:
             spec["seeds"] = tuple(int(s) for s in args.seeds.split(","))
         if args.epochs:
