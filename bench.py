@@ -174,8 +174,42 @@ def bench_torch(batch=16, iters=4):
 PINNED_TORCH_CPU_FPS = 5000.0
 
 
+def _probe_device(timeout_s=150):
+    """True iff the default JAX backend can enumerate devices and run a
+    tiny program.  Runs in a SUBPROCESS with a hard timeout: when the chip
+    tunnel wedges, in-process device enumeration hangs forever rather than
+    raising, so this is the only reliable guard."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp; jax.devices(); "
+            "print(float(jnp.sum(jnp.ones((8, 8)))))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
-    jax_fps = bench_jax()
+    # The chip tunnel can wedge (observed: device enumeration hangs, no
+    # error).  Probe with a timeout, retry briefly, and if the chip never
+    # answers fall back to the host CPU backend with the platform stamped
+    # in the JSON — an honest degraded number beats a hung bench run.
+    platform = "default"
+    for attempt in range(3):
+        if _probe_device():
+            break
+        time.sleep(30)
+    else:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        platform = "cpu-fallback"
+    if platform == "cpu-fallback":
+        # CPU can't sustain the chip operating point; shrink the problem
+        # (throughput is still per-iteration-normalized and honest)
+        jax_fps = bench_jax(batch=256, iters=4)
+    else:
+        jax_fps = bench_jax()
     vs_baseline = round(jax_fps / PINNED_TORCH_CPU_FPS, 2)
     try:
         vs_live = round(jax_fps / bench_torch(), 2)
@@ -188,6 +222,7 @@ def main():
         "vs_baseline": vs_baseline,
         "vs_baseline_live": vs_live,
         "baseline_pinned_fps": PINNED_TORCH_CPU_FPS,
+        "platform": platform,
     }))
 
 
