@@ -174,20 +174,25 @@ def bench_torch(batch=16, iters=4):
 PINNED_TORCH_CPU_FPS = 5000.0
 
 
-def _probe_device(timeout_s=150):
-    """True iff the default JAX backend can enumerate devices and run a
-    tiny program.  Runs in a SUBPROCESS with a hard timeout: when the chip
-    tunnel wedges, in-process device enumeration hangs forever rather than
-    raising, so this is the only reliable guard."""
-    import subprocess
-    code = ("import jax, jax.numpy as jnp; jax.devices(); "
-            "print(float(jnp.sum(jnp.ones((8, 8)))))")
-    try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, timeout=timeout_s)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+def _last_chip_graded():
+    """Most recent non-fallback driver-recorded bench result (for context
+    in a tunnel-down fallback line); the zero-padded BENCH_rNN names sort
+    chronologically."""
+    import glob
+    best = {"value": 7042452.2, "vs_baseline": 1408.49,
+            "source": "BENCH_r02.json"}
+    for p in sorted(glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                parsed = (json.load(f).get("parsed") or {})
+            if ("value" in parsed
+                    and parsed.get("platform", "default") != "cpu-fallback"):
+                best = {"value": parsed["value"],
+                        "vs_baseline": parsed.get("vs_baseline"),
+                        "source": os.path.basename(p)}
+        except Exception:
+            continue
+    return best
 
 
 def main():
@@ -195,13 +200,14 @@ def main():
     # error).  Probe with a timeout, retry briefly, and if the chip never
     # answers fall back to the host CPU backend with the platform stamped
     # in the JSON — an honest degraded number beats a hung bench run.
+    from vqvae_speech_tpu.utils.backend_probe import probe_default_backend
+
     platform = "default"
-    for attempt in range(3):
-        if _probe_device():
-            break
-        time.sleep(30)
-    else:
+    ok, reason = probe_default_backend()
+    if not ok:
         import jax
+        print(f"bench: default backend unresponsive ({reason!r}); "
+              "falling back to CPU", file=sys.stderr)
         jax.config.update("jax_platforms", "cpu")
         platform = "cpu-fallback"
     if platform == "cpu-fallback":
@@ -225,10 +231,9 @@ def main():
         "platform": platform,
     }
     if platform == "cpu-fallback":
-        # context for a tunnel-down round: the last driver-recorded
-        # chip-graded result (BENCH_r02.json, one v5e chip)
-        out["last_chip_graded"] = {"value": 7042452.2, "vs_baseline": 1408.49,
-                                   "source": "BENCH_r02.json"}
+        # context for a tunnel-down round: the most recent driver-recorded
+        # chip-graded result (one v5e chip)
+        out["last_chip_graded"] = _last_chip_graded()
     print(json.dumps(out))
 
 

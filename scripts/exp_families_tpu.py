@@ -91,11 +91,10 @@ def main():
     from vqvae_speech_tpu.train import Experiments
 
     os.makedirs(root, exist_ok=True)
-    # clean room (see quality_run_tpu.run): stale corpora/checkpoints from
-    # an interrupted or differently-configured run must not leak in
-    import shutil
-    for sub in ("raw", "features", "experiments", "results"):
-        shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
+    # clean room: stale corpora/checkpoints from an interrupted or
+    # differently-configured run must not leak in
+    from vqvae_speech_tpu.utils.workspace import clean_room
+    clean_room(root)
     t0 = time.time()
     build_rich_phoneme_corpus(root, **spec["corpus"])
     vctk = VCTK(root, ratio=spec["ratio"], shuffle_seed=0)

@@ -144,9 +144,8 @@ def run(root, spec, name):
     # partial raw/ tree that the (additive) builder would merge into a
     # mixed-scale corpus, and checkpoints the auto-resume would wrongly
     # continue from; corpus generation is seeded so a rebuild is exact
-    import shutil
-    for sub in ("raw", "features", "experiments", "results"):
-        shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
+    from vqvae_speech_tpu.utils.workspace import clean_room
+    clean_room(root)
     t0 = time.time()
     builder = (build_rich_phoneme_corpus
                if spec.get("corpus_builder") == "rich"
@@ -259,6 +258,10 @@ def main():
                          "chip tunnel is down; the artifact records its "
                          "platform either way)")
     args = ap.parse_args()
+    if args.flow_gradient and not args.flagship:
+        ap.error("--flow-gradient requires --flagship (the default w24 "
+                 "gate already runs both the reference-semantics and "
+                 "flow-gradient rows)")
     if args.force_cpu:
         import jax as _jax
         # the axon plugin overrides JAX_PLATFORMS; the config update is
@@ -287,15 +290,23 @@ def main():
         if args.utt_seconds:
             spec["corpus"] = dict(spec["corpus"],
                                   utt_seconds=args.utt_seconds)
+        # the variant gets its own default root AND artifact name: run()'s
+        # clean-room wipe must never destroy the parity-gate artifacts, and
+        # the two summaries must be distinguishable at a glance
+        variant = "_flowgrad" if args.flow_gradient else ""
         root = (args.root if args.root != "quality_run"
-                else "quality_run_flagship")
-        summary = run(root, spec, "phonemes_flagship")
+                else "quality_run_flagship" + variant)
+        summary = run(root, spec, "phonemes_flagship" + variant)
         # parity-path stability: the drift failure mode is e_latent ~1e3
         # (round-2 postmortem); the healthy band measured 0.4-1.4 on the
         # 12-phone corpus and ~2 on the 37-phone one (more content classes
         # spread the latent cloud) — 10 is still two orders below failure
+        # (flow-gradient trades a bounded e_latent elevation for latent
+        # phone signal — measured 22-32 at this scale, RESULTS.md — so its
+        # bound sits an order below the failure mode instead)
+        e_bound = 100.0 if args.flow_gradient else 10.0
         for s_, row in summary["seeds"].items():
-            assert row["final_losses"]["e_latent_loss"] < 10.0, (s_, row)
+            assert row["final_losses"]["e_latent_loss"] < e_bound, (s_, row)
         # the flagship quality gate: eval-side refit scores must beat the
         # reference's real-VCTK headline on every metric (RESULTS.md)
         import numpy as _np
