@@ -56,18 +56,9 @@ def corpus_frames(builder, root, **kw):
     return F, labels, len(phonemes)
 
 
-def kmeans(F, k, seed, iters=50):
-    rng = np.random.default_rng(seed)
-    cents = F[rng.choice(len(F), k, replace=False)]
-    for _ in range(iters):
-        d = ((F[:, None] - cents[None]) ** 2).sum(-1)
-        a = np.argmin(d, 1)
-        new = np.stack([F[a == j].mean(0) if (a == j).any() else cents[j]
-                        for j in range(k)])
-        if np.allclose(new, cents):
-            break
-        cents = new
-    return a
+# shared Lloyd implementation (same update rule this script originally
+# inlined; expanded-norm distances instead of the (M,k,D) broadcast)
+from vqvae_speech_tpu.eval.codebook_refit import lloyd_kmeans as kmeans
 
 
 def main():

@@ -5,13 +5,25 @@ Follow-up to scripts/corpus_ari_ceiling.py (raw MFCC k-means(44) ARI is
 and score, against the same TextGrid labels at the latent time resolution,
 
   1. k-means(44) on the PRE-VQ encoder latents z  (does the encoder keep it?)
-  2. the model's actual codebook assignments       (does VQ keep it?)
-  3. k-means(44) on the quantized vectors' codebook rows is (2) by def.
+  2. the model's actual per-frame code stream, REFERENCE SEMANTICS: the
+     reference quantizes a (C, T, B)-order flatten whose rows are NOT
+     per-frame vectors (reference vector_quantizer.py:88-93; PARITY — see
+     ops/vq.py:reference_flatten) and then `view(batch, time, -1)`s the
+     result back, so frame (b, t)'s "code" is the code of a scrambled row.
+     This is exactly the stream the reference's own alignment statistics
+     (and its committed headline scores) are computed from.
+  3. the UN-scrambled per-frame assignment: argmin distance of each true
+     frame vector z[b, t] to the trained codebook.  Separates how much of
+     (2)'s weakness is the row-scrambling quirk vs the codebook itself.
+  4. the eval-side codebook refit (eval/codebook_refit.py) of the same
+     trained codebook to the latent cloud.
 
 If (1) >> (2), the codebook assignment—not the encoder—discards the phone
-structure; if (1) is already at chance, the reconstruction objective never
-put it in the latents.  CPU-only; reads an existing quality_run_flagship
-root.
+structure; (3) vs (2) attributes that loss between the reference's flatten
+quirk and the codebook's tessellation; (4) vs (3) is what one eval-side
+k-means recovers on top.  If (1) is already at chance, the reconstruction
+objective never put the signal in the latents.  CPU-only; reads an
+existing quality_run_flagship root.
 
 Usage: python scripts/latent_signal_diagnostic.py \
            [--root quality_run_flagship] [--seed 1234]
@@ -63,13 +75,18 @@ def diagnose(root, seed, name="phonemes_flagship", force_cpu=True):
         np.float32)
 
     # labels at the latent resolution: latent step t covers input frames
-    # [2t, 2t+1] (stride-2 encoder); frame f centers at (f*160+200)/rate
+    # [2t, 2t+1] (stride-2 encoder); frame f centers at (f*160+200)/rate,
+    # so the latent's time center is the midpoint of the two frame centers,
+    # 2t*160+280
     from vqvae_speech_tpu.data.textgrid import phoneme_marks
     tg_root = os.path.join(root, "raw", "VCTK-Corpus", "phonemes")
 
     def utt_marks(key):
         spk = key.split("_")[0]
-        return phoneme_marks(os.path.join(tg_root, spk, key + ".TextGrid"))
+        path = os.path.join(tg_root, spk, key + ".TextGrid")
+        # real VCTK has utterances without phoneme alignments — skip them
+        # like eval/alignment_stats.py does, don't crash the sweep
+        return phoneme_marks(path) if os.path.isfile(path) else None
 
     zs, codes, labels = [], [], []
     B = 32
@@ -82,6 +99,9 @@ def diagnose(root, seed, name="phonemes_flagship", force_cpu=True):
             params["vq"], model_state["vq"], z,
             commitment_cost=cfg["commitment_cost"], decay=cfg["decay"],
             training=False)
+        # reference semantics: indices come back in the (C, T, B)-flatten
+        # row order and are VIEWED as (B, T) — frame (i, t) gets the code
+        # of a scrambled row, exactly as the reference's evaluator does
         idx = np.asarray(out.indices).reshape(z.shape[0], -1)
         for i in range(z.shape[0]):
             gi = start + i
@@ -90,9 +110,11 @@ def diagnose(root, seed, name="phonemes_flagship", force_cpu=True):
             if key is None:
                 continue
             marks = utt_marks(key)
+            if marks is None:
+                continue
             Tl = z.shape[1]
             for t in range(Tl):
-                center = (2 * t * 160 + 360) / cfg["sampling_rate"]
+                center = (2 * t * 160 + 280) / cfg["sampling_rate"]
                 lab = None
                 for a, b, ph in marks:
                     if a <= center < b:
@@ -100,7 +122,7 @@ def diagnose(root, seed, name="phonemes_flagship", force_cpu=True):
                         break
                 if lab is None:
                     continue
-                zs.append(np.asarray(z[i, t]))
+                zs.append(Z_all[gi, t])
                 codes.append(int(idx[i, t]))
                 labels.append(lab)
 
@@ -108,18 +130,7 @@ def diagnose(root, seed, name="phonemes_flagship", force_cpu=True):
     truth = np.asarray([hash(l) % (1 << 30) for l in labels])
     codes = np.asarray(codes)
 
-    def kmeans(F, k, seed, iters=50):
-        rng = np.random.default_rng(seed)
-        cents = F[rng.choice(len(F), k, replace=False)]
-        for _ in range(iters):
-            d = ((F[:, None] - cents[None]) ** 2).sum(-1)
-            a = np.argmin(d, 1)
-            new = np.stack([F[a == j].mean(0) if (a == j).any()
-                            else cents[j] for j in range(k)])
-            if np.allclose(new, cents):
-                break
-            cents = new
-        return a
+    from vqvae_speech_tpu.eval.codebook_refit import lloyd_kmeans as kmeans
 
     def score(a):
         return {"ari": round(float(adjusted_rand_score(truth, a)), 5),
@@ -130,19 +141,35 @@ def diagnose(root, seed, name="phonemes_flagship", force_cpu=True):
     K = cfg["num_embeddings"]
     Zn = (Z - Z.mean(0)) / (Z.std(0) + 1e-8)
 
+    # the trained codebook lives in params for the gradient variant and in
+    # model_state for the EMA variant (models/vq.py, reference
+    # vector_quantizer_ema.py)
+    trained_codebook = np.asarray(
+        model_state["vq"]["codebook"] if cfg["decay"] > 0
+        else params["vq"]["codebook"])
+
+    # UN-scrambled baseline: nearest trained code of each TRUE frame vector
+    # (vs `codes`, which carries the reference's (C,T,B)-flatten pairing)
+    from vqvae_speech_tpu.eval.codebook_refit import _sqdist, kmeans_refit
+    perframe_assign = np.argmin(_sqdist(Z.astype(np.float64),
+                                        trained_codebook.astype(np.float64)),
+                                axis=1)
+
     # eval-side codebook refit (X extension, eval/codebook_refit.py):
     # k-means over the RAW latents initialized at the trained codebook
-    from vqvae_speech_tpu.eval.codebook_refit import kmeans_refit
-    _, refit_assign = kmeans_refit(params["vq"]["codebook"], Z)
+    _, refit_assign = kmeans_refit(trained_codebook, Z)
 
     res = {
         "frames": int(len(Z)),
         "n_label_classes": int(len(set(labels))),
         "codebook_assignment": score(codes),
+        "codebook_assignment_per_frame": score(perframe_assign),
         "codebook_refit_assignment": score(refit_assign),
         "kmeans_on_prevq_latents": {
             str(s): score(kmeans(Zn, K, s)) for s in (0, 1, 2)},
         "effective_codes_used": int(len(set(codes.tolist()))),
+        "effective_codes_per_frame": int(
+            len(set(perframe_assign.tolist()))),
         "effective_codes_after_refit": int(len(set(refit_assign.tolist()))),
     }
     return res

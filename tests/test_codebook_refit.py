@@ -58,3 +58,47 @@ def test_sqdist_matches_bruteforce():
     # near-duplicate points: cancellation must clamp at 0, not go negative
     Xd = np.repeat(C[:5], 3, axis=0) + 1e-9
     assert (_sqdist(Xd, C) >= 0).all()
+
+
+def test_lloyd_kmeans_matches_original_inline_semantics():
+    """lloyd_kmeans is the shared implementation behind the analysis
+    scripts' previously-inlined k-means (random data-point init, empty
+    clusters keep their center, allclose stop): same assignments as a
+    direct transcription of that inline loop on the same seed."""
+    from vqvae_speech_tpu.eval.codebook_refit import lloyd_kmeans
+
+    rng = np.random.default_rng(4)
+    F = np.concatenate([rng.standard_normal((60, 8)) + 6 * j
+                        for j in range(3)]).astype(np.float64)
+
+    def inline_kmeans(F, k, seed, iters=50):
+        r = np.random.default_rng(seed)
+        cents = F[r.choice(len(F), k, replace=False)]
+        for _ in range(iters):
+            d = ((F[:, None] - cents[None]) ** 2).sum(-1)
+            a = np.argmin(d, 1)
+            new = np.stack([F[a == j].mean(0) if (a == j).any() else cents[j]
+                            for j in range(k)])
+            if np.allclose(new, cents):
+                break
+            cents = new
+        return a
+
+    got = lloyd_kmeans(F, 3, seed=7)
+    want = inline_kmeans(F, 3, seed=7)
+    assert (got == want).all()
+    # and it actually separates the three blobs
+    assert len(set(got.tolist())) == 3
+
+
+def test_kmeanspp_init_survives_collapsed_cloud():
+    """Fewer distinct points than K (the encoder-collapse regime this tool
+    studies) must not crash the kmeans++ leg with an all-zero probability
+    vector; the refit still returns a full solution."""
+    rng = np.random.default_rng(5)
+    X = np.repeat(rng.standard_normal((2, 16)), 40, axis=0)  # 2 distinct
+    cb = rng.standard_normal((6, 16))
+    cents, assign = kmeans_refit(cb, X)
+    assert cents.shape == (6, 16)
+    assert assign.shape == (80,)
+    assert np.isfinite(cents).all()

@@ -15,7 +15,7 @@ for alignment studies on refit code streams.
 """
 import numpy as np
 
-__all__ = ["kmeans_refit", "collect_latents"]
+__all__ = ["kmeans_refit", "collect_latents", "lloyd_kmeans"]
 
 
 def collect_latents(params, model_state, feats_normalized, cfg,
@@ -78,10 +78,40 @@ def _kmeanspp_init(X, K, seed):
     # incremental min-distance update: O(K*M*D) total, not O(K^2*M*D)
     d = _sqdist(X, cents[-1][None])[:, 0]
     for _ in range(K - 1):
-        p = d / max(d.sum(), 1e-12)
-        cents.append(X[rng.choice(len(X), p=p)])
+        s = float(d.sum())
+        if s <= 0.0:
+            # fewer than K distinct points (the collapse regime this tool
+            # exists to study): every remaining center is a duplicate —
+            # pick uniformly instead of crashing on an all-zero p
+            cents.append(X[rng.integers(len(X))])
+            continue
+        cents.append(X[rng.choice(len(X), p=d / s)])
         d = np.minimum(d, _sqdist(X, cents[-1][None])[:, 0])
     return np.stack(cents)
+
+
+def lloyd_kmeans(X, k, seed, iters: int = 50):
+    """Plain Lloyd's k-means assignments: random data-point init, empty
+    clusters keep their previous center, `allclose` convergence stop.
+
+    The ONE shared implementation behind the analysis scripts'
+    latent/raw-feature k-means (scripts/latent_signal_diagnostic.py,
+    scripts/corpus_ari_ceiling.py) — same update rule they originally
+    inlined, but on the expanded-norm distances (`_sqdist`) instead of the
+    (M, k, D) broadcast, which is 2-22 GB per iteration at real-VCTK
+    latent-cloud scale."""
+    X = np.asarray(X)
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), k, replace=False)]
+    a = np.zeros(len(X), dtype=np.int64)
+    for _ in range(iters):
+        a = np.argmin(_sqdist(X, cents), axis=1)
+        new = np.stack([X[a == j].mean(0) if (a == j).any() else cents[j]
+                        for j in range(k)])
+        if np.allclose(new, cents):
+            break
+        cents = new
+    return a
 
 
 def _lloyd(cents, X, iters, seed):
