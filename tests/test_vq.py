@@ -227,3 +227,42 @@ def test_eval_mode_keeps_state_frozen():
                                  decay=0.99, training=False, use_pallas=False)
     np.testing.assert_array_equal(np.asarray(out.new_state["codebook"]),
                                   np.asarray(state["codebook"]))
+
+
+def test_reference_index_view_is_scrambled_vs_per_frame_argmin():
+    """Pin the quirk the latent diagnostic's attribution rests on: the
+    reference views the quantizer's (C,T,B)-flatten-ordered codes back as
+    (batch, time) (vector_quantizer.py:88-93 + :151-153), so frame
+    (b, t)'s 'code' is the code of a scrambled row — NOT that frame
+    vector's nearest code — while the quantized VALUES round-trip exactly
+    through the inverse flatten."""
+    from vqvae_speech_tpu.models.vq import (
+        vector_quantizer_init, vector_quantizer_apply)
+
+    rng = np.random.default_rng(9)
+    B, T, C = 4, 10, 8  # D = C
+    z = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+    params, state = vector_quantizer_init(
+        jax.random.PRNGKey(0), num_embeddings=11, embedding_dim=C,
+        ema=False)
+    out = vector_quantizer_apply(params, state, z, commitment_cost=0.25,
+                                 decay=0.0, training=False)
+    viewed = np.asarray(out.indices).reshape(B, T)
+
+    cb = np.asarray(params["codebook"])
+    zf = np.asarray(z).reshape(B * T, C)
+    d = ((zf ** 2).sum(1)[:, None] - 2 * zf @ cb.T + (cb ** 2).sum(1)[None])
+    per_frame = np.argmin(d, axis=1).reshape(B, T)
+
+    # scrambled: the (B,T) view disagrees with the true per-frame argmin
+    # on a generic input (if it ever agreed everywhere the quirk would be
+    # gone and the diagnostic's two baselines would collapse into one)
+    assert (viewed != per_frame).any()
+    # ...while the quantized tensor is layout-consistent: every element
+    # comes from the codebook row its own scrambled flat row selected
+    from vqvae_speech_tpu.ops.vq import reference_flatten, reference_unflatten
+    flat_idx = np.asarray(out.indices)[:, 0]
+    want_q = np.asarray(reference_unflatten(
+        jnp.asarray(cb[flat_idx]), B, T, C))
+    np.testing.assert_allclose(np.asarray(out.quantized), want_q,
+                               rtol=1e-5, atol=1e-6)
