@@ -11,9 +11,17 @@ reference's qualitative quality-vs-batch trend.
 Corpus: the rich (full-rank) synthetic phoneme corpus with TextGrids, so
 the clustering gate is meaningful.
 
+Round 3 extends the sweep to the reference's two remaining families:
+codebook_sizes (experiments_mfcc39-codebook_sizes.json: 10 -> 1000 codes,
+batch 2, 15 epochs) and seeds (experiments_vq44-mfcc39-seeds.json:
+baseline + jitter12 x seeds [1234, 5678, 4242], 10 epochs) — with those,
+every experiment family the reference ships runs end-to-end here.
+
 Usage:
-  python scripts/exp_families_tpu.py lengths      [--root exp_lengths]
-  python scripts/exp_families_tpu.py batch_sizes  [--root exp_batch_sizes]
+  python scripts/exp_families_tpu.py lengths        [--root exp_lengths]
+  python scripts/exp_families_tpu.py batch_sizes    [--root exp_batch_sizes]
+  python scripts/exp_families_tpu.py codebook_sizes [--root exp_codebook_sizes]
+  python scripts/exp_families_tpu.py seeds          [--root exp_seeds]
 """
 import argparse
 import json
@@ -66,7 +74,54 @@ FAMILIES = {
             for b in (2, 16, 32, 64)
         },
     ),
+    # reference experiments_mfcc39-codebook_sizes.json: codebook sweep
+    # 10 -> 1000 codes, batch 2, 15 epochs, seed 1234.  The >100-code rows
+    # additionally exercise the evaluator's skip-empirical-bigram semantics
+    # (reference alignment_stats.py:345-347) at driver scale.
+    "codebook_sizes": dict(
+        corpus=dict(num_speakers=8, utts_per_speaker=50, utt_seconds=0.6),
+        ratio=0.9,
+        cfg={},
+        experiments={
+            f"baseline-{k}": dict(num_epochs=15, batch_size=2,
+                                  num_embeddings=k, normalize=True)
+            for k in (10, 44, 100, 500, 1000)
+        },
+        # the reference's evolution-across-codebook-sizes aggregation
+        # (alignment_stats.py:499-565)
+        eval_options=dict(plot_clustering_metrics_evolution=True),
+    ),
+    # reference experiments_vq44-mfcc39-seeds.json: baseline + jitter12 at
+    # 10 epochs, batch 2, seeds [1234, 5678, 4242].  The flagship quality
+    # gates already cover jitter12 x 3 seeds at 15 epochs; this family runs
+    # the reference's exact two-experiment x three-seed fanout through the
+    # driver (Experiments.load handles the seed-list fanout).
+    "seeds": dict(
+        corpus=dict(num_speakers=8, utts_per_speaker=50, utt_seconds=0.6),
+        ratio=0.9,
+        cfg={},
+        seed_list=[1234, 5678, 4242],
+        experiments={
+            "baseline": dict(num_epochs=10, batch_size=2, normalize=True),
+            "jitter12": dict(num_epochs=10, batch_size=2, normalize=True,
+                             use_jitter=True, jitter_probability=0.12),
+        },
+        # the reference's seed-stability aggregation
+        # (alignment_stats.py:567-673)
+        eval_options=dict(
+            check_clustering_metrics_stability_over_seeds=True),
+    ),
 }
+
+
+def run_names_for(spec: dict, default_seed: int):
+    """Final experiment run names: a seed_list family fans out
+    ``{name}-seed{seed}`` exactly like the driver (train/experiment.py:183-194)."""
+    seed_spec = spec.get("seed_list", default_seed)
+    if isinstance(seed_spec, list):
+        return seed_spec, [f"{n}-seed{s}" for n in spec["experiments"]
+                           for s in seed_spec]
+    return seed_spec, list(spec["experiments"])
 
 
 def main():
@@ -112,11 +167,12 @@ def main():
     with open(cfg_path, "w") as f:
         yaml.dump(cfg, f)
 
+    seed_spec, run_names = run_names_for(spec, args.seed)
     spec_json = {
         "experiments_path": os.path.join(root, "experiments"),
         "results_path": os.path.join(root, "results"),
         "configuration_path": cfg_path,
-        "seed": args.seed,
+        "seed": seed_spec,
         "experiments": spec["experiments"],
     }
     spec_path = os.path.join(root, "experiments.json")
@@ -125,18 +181,20 @@ def main():
 
     exps = Experiments.load(spec_path, data_root=store_root)
     exps.train()
-    results = exps.evaluate({
+    eval_options = {
         "compute_alignments": True,
         "compute_clustering_metrics": True,
         "alignment_subset": "val",
-    })
+    }
+    eval_options.update(spec.get("eval_options", {}))
+    results = exps.evaluate(eval_options)
 
     from vqvae_speech_tpu.train.checkpoint import (
         find_checkpoints, load_checkpoint)
-    summary = {"family": args.family, "seed": args.seed,
+    summary = {"family": args.family, "seed": seed_spec,
                "platform": jax.default_backend(),
                "corpus": spec["corpus"], "experiments": {}}
-    for name in spec["experiments"]:
+    for name in run_names:
         ckpts = find_checkpoints(spec_json["experiments_path"], name)
         last = load_checkpoint(ckpts[-1][1])
         summary["experiments"][name] = {
@@ -150,6 +208,9 @@ def main():
                              last["train_res_recon_error"][-1].items()},
         }
         print(json.dumps({name: summary["experiments"][name]}), flush=True)
+    for agg in ("clustering_metrics_evolution", "clustering_metrics_stability"):
+        if agg in results:
+            summary[agg] = results[agg]
     summary["wall_s"] = round(time.time() - t0, 1)
     with open(os.path.join(root, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)

@@ -244,3 +244,36 @@ def test_step_timer():
     assert s["steps"] == 3
     assert 0.005 < s["mean_s"] < 0.1
     assert s["steps_per_sec"] > 5
+
+
+def test_exp_families_reference_parity():
+    """The experiment-family sweep script mirrors the reference's four
+    experiment-family JSONs (configurations/experiments_*.json)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    from scripts.exp_families_tpu import FAMILIES, run_names_for
+
+    assert set(FAMILIES) == {"lengths", "batch_sizes", "codebook_sizes",
+                             "seeds"}
+    # codebook sweep: reference experiments_mfcc39-codebook_sizes.json —
+    # 10 -> 1000 codes at batch 2, 15 epochs
+    cb = FAMILIES["codebook_sizes"]["experiments"]
+    assert sorted(int(n.split("-")[1]) for n in cb) == [10, 44, 100, 500,
+                                                        1000]
+    for exp in cb.values():
+        assert exp["batch_size"] == 2 and exp["num_epochs"] == 15
+    # seeds family: reference experiments_vq44-mfcc39-seeds.json —
+    # baseline + jitter12 at 10 epochs over seeds [1234, 5678, 4242],
+    # fanned out to {name}-seed{seed} exactly like the driver
+    seeds_spec = FAMILIES["seeds"]
+    seed_spec, names = run_names_for(seeds_spec, default_seed=0)
+    assert seed_spec == [1234, 5678, 4242]
+    assert set(names) == {f"{b}-seed{s}" for b in ("baseline", "jitter12")
+                          for s in (1234, 5678, 4242)}
+    assert seeds_spec["experiments"]["jitter12"]["jitter_probability"] == 0.12
+    # a plain family keeps its single seed and raw names
+    seed_spec, names = run_names_for(FAMILIES["batch_sizes"], 1234)
+    assert seed_spec == 1234
+    assert names == [f"baseline-{b}" for b in (2, 16, 32, 64)]
