@@ -249,3 +249,46 @@ def test_jitter_gradient_detach_config_threads_to_the_step():
     assert outs["detach"] == outs["flow"], outs
     # detached semantics pass far less recon gradient into the encoder
     assert grads["detach"] < 0.5 * grads["flow"], grads
+
+
+def test_loader_skips_output_normalization_on_width_mismatch(tmp_path):
+    """The reference applies the SAME 39-d train stats to both feature
+    streams (vctk_features_dataset.py:56-58) — well-typed only when both are
+    MFCC39. Under the wavenet decoder config the output stream is 79-d
+    logfbank (and unused: the target is mu-law audio), so the loader must
+    normalize inputs and leave mismatched-width outputs at raw scale."""
+    from vqvae_speech_tpu.data import FeatureStore
+
+    store = FeatureStore(str(tmp_path / "features"))
+    rng = np.random.default_rng(0)
+    inp = rng.normal(5.0, 3.0, (8, 11, 39)).astype(np.float32)
+    outp = rng.normal(2.0, 1.0, (8, 11, 79)).astype(np.float32)
+    speakers = np.zeros((8,), np.int32)
+    meta = {"wav_filenames": [f"p000_{i}.wav" for i in range(8)],
+            "shifting_times": [0.0] * 8,
+            "random_starting_indices": [0] * 8}
+    store.write("train", inp, outp, speakers, metadata=meta,
+                preprocessed_audio=np.zeros((8, 128), np.float32))
+    norm_path = str(tmp_path / "stats.pickle")
+    compute_dataset_stats(store, norm_path)
+
+    loader = FeatureLoader(store, "train", 4,
+                           normalizer=load_normalizer(norm_path),
+                           shuffle=False)
+    batch = next(iter(loader))
+    # inputs are whitened by the train stats
+    assert abs(float(batch["input_features"].mean())) < 0.5
+    assert 0.5 < float(batch["input_features"].std()) < 1.5
+    # 79-d outputs keep their raw scale (mean ~2, std ~1)
+    np.testing.assert_allclose(batch["output_features"], outp[:4], rtol=1e-6)
+
+    # matched widths still normalize both streams (conv pipeline semantics)
+    store39 = FeatureStore(str(tmp_path / "features39"))
+    store39.write("train", inp, inp * 2.0 + 1.0, speakers, metadata=meta,
+                  preprocessed_audio=np.zeros((8, 128), np.float32))
+    norm39 = str(tmp_path / "stats39.pickle")
+    compute_dataset_stats(store39, norm39)
+    b39 = next(iter(FeatureLoader(store39, "train", 4,
+                                  normalizer=load_normalizer(norm39),
+                                  shuffle=False)))
+    assert not np.allclose(b39["output_features"], inp[:4] * 2.0 + 1.0)

@@ -164,7 +164,15 @@ class FeatureLoader:
                 mean = self._normalizer["train_mean"].astype(np.float32)
                 std = self._normalizer["train_std"].astype(np.float32)
                 inp = (inp - mean) / std
-                out = (out - mean) / std
+                # the reference applies the SAME train stats to both streams
+                # (vctk_features_dataset.py:56-58), which only type-checks
+                # when both are 39-d MFCCs; its wavenet config dodges the
+                # mismatch by never normalizing. Here output features keep
+                # their raw scale when their width differs from the stats
+                # (e.g. 79-d logfbank targets under the wavenet decoder,
+                # where the training target is mu-law audio, not features).
+                if out.shape[-1] == mean.shape[-1]:
+                    out = (out - mean) / std
             batch = {
                 "input_features": inp,
                 "output_features": out,
