@@ -1,0 +1,271 @@
+"""WaveNetVQVAE end-to-end on hardware: train codes->audio, then GENERATE.
+
+The reference ships the WaveNetVQVAE model (src/models/wavenet_vq_vae.py) and
+a full config for it (configurations/vctk_wavenet.yaml) but cannot train it —
+its PipelineFactory raises for any non-deconvolutional decoder
+(src/experiments/pipeline_factory.py:52-53).  This framework made the path a
+working trainer (PARITY #12) and benchmarked its step throughput; what was
+still missing is QUALITY evidence: does the full codes->audio pipeline learn
+and synthesize on hardware?
+
+This script runs the whole loop through the real experiments driver:
+
+1. rich synthetic speech corpus (source-filter, TextGrids) -> feature export
+   (MFCC39 conditioning + preprocessed audio in the columnar store),
+2. train WaveNetVQVAE at the reference's vctk_wavenet.yaml decoder scale
+   (20 layers / 768 residual-gate channels / 384x LC upsampling, mu-law 256
+   CE + VQ loss) via ``decoder_type: wavenet`` -> Experiments.load -> train,
+3. measure teacher-forced per-sample NLL on the held-out val split
+   (uniform = ln 256 = 5.545 nats),
+4. generate audio autoregressively from a VAL utterance's quantized codes
+   (encoder -> VQ -> conv-k2 mixer -> scan AR decode with on-device
+   sampling), score the generated stream under the trained model, and
+   compare its log-mel envelope with the ground-truth utterance's.
+
+AR caveat (established in int8_fidelity*/: one early sampling step forks a
+free-running AR trajectory permanently) applies here too — the graded
+quality signals are the NLLs (train descent, val teacher-forced, generated
+stream under the model); the mel-envelope correlation is descriptive
+evidence that conditioning steers the synthesized audio, not a
+sample-alignment metric.
+
+Usage: python scripts/wavenet_vqvae_e2e_tpu.py [--epochs 80] [--root wavenet_vqvae_e2e]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+import numpy as np
+import yaml
+
+UNIFORM_NLL = float(np.log(256.0))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=80)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--root", default="wavenet_vqvae_e2e")
+    ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--force-cpu", action="store_true")
+    ap.add_argument("--smoke", action="store_true",
+                    help="shrink the decoder (4 layers / 64 ch, length "
+                         "1920) to validate the full wiring in minutes on "
+                         "CPU; the graded run uses the reference scale")
+    args = ap.parse_args()
+
+    import jax
+    if args.force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from vqvae_speech_tpu.data.synthetic_phonemes import (
+        build_rich_phoneme_corpus)
+    from vqvae_speech_tpu.data.vctk import VCTK
+    from vqvae_speech_tpu.data.export import export_to_features
+    from vqvae_speech_tpu.data.feature_store import (
+        FeatureStore, FeatureLoader, compute_dataset_stats, load_normalizer)
+    from vqvae_speech_tpu.utils.workspace import clean_room
+    from vqvae_speech_tpu.train import Experiments
+
+    root = args.root
+    os.makedirs(root, exist_ok=True)
+    clean_room(root)
+    t0 = time.time()
+
+    # corpus: 0.6 s utterances cover the reference crop length 7680 (+1)
+    build_rich_phoneme_corpus(root, num_speakers=4, utts_per_speaker=12,
+                              utt_seconds=0.6)
+    vctk = VCTK(root, ratio=0.8, shuffle_seed=0)
+
+    with open(os.path.join(REPO_ROOT, "configurations",
+                           "vctk_wavenet.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    cfg.update(
+        data_root=root, num_epochs=args.epochs, batch_size=args.batch,
+        num_workers=4, num_speakers=4, normalize=True,
+        normalizer_path=os.path.join(root, "stats.pickle"),
+        verbose=False,
+    )
+    if args.smoke:
+        cfg.update(n_loop=2, n_layers=4, gate_channels=64,
+                   skip_out_channels=64, residual_channels=64,
+                   num_hiddens=64, local_condition_dim=64,
+                   global_condition_dim=16, length=1920,
+                   # frames at length 1920 (the full config pins 47 @ 7680)
+                   input_features_dim=11)
+    store_root = os.path.join(root, "features")
+    export_to_features(vctk, store_root, cfg, num_workers=4)
+    compute_dataset_stats(FeatureStore(store_root), cfg["normalizer_path"])
+
+    cfg_path = os.path.join(root, "base.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    spec_path = os.path.join(root, "experiments.json")
+    with open(spec_path, "w") as f:
+        json.dump({
+            "experiments_path": os.path.join(root, "experiments"),
+            "results_path": os.path.join(root, "results"),
+            "configuration_path": cfg_path,
+            "seed": args.seed,
+            "experiments": {"wavenet-e2e": {}},
+        }, f)
+
+    exps = Experiments.load(spec_path, data_root=store_root)
+    exps.train()
+
+    # ---- reload the trained state through the checkpoint contract ----
+    from vqvae_speech_tpu.train.checkpoint import (
+        find_checkpoints, load_checkpoint)
+    ckpts = find_checkpoints(os.path.join(root, "experiments"), "wavenet-e2e")
+    ckpt = load_checkpoint(ckpts[-1][1])
+    as_jax = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    params, model_state = as_jax(ckpt["params"]), as_jax(ckpt["model_state"])
+    # loss history: each checkpoint carries ITS epoch's per-step dicts;
+    # the very first step lives in the epoch-0 checkpoint
+    first_ckpt = load_checkpoint(ckpts[0][1])
+    train_ce_first = float(np.asarray(
+        first_ckpt["train_res_recon_error"][0]["reconstruction_loss"]))
+    train_ce_final = float(np.asarray(
+        ckpt["train_res_recon_error"][-1]["reconstruction_loss"]))
+
+    from vqvae_speech_tpu.models.wavenet_vqvae import (
+        wavenet_vqvae_init, wavenet_vqvae_apply)
+    from vqvae_speech_tpu.ops.mu_law import mu_law_encode, mu_law_decode
+    # wavenet_cfg is deterministic from the config
+    _, _, wavenet_cfg = wavenet_vqvae_init(
+        jax.random.PRNGKey(0), cfg, cfg["num_speakers"])
+
+    normalizer = load_normalizer(cfg["normalizer_path"])
+    val_loader = FeatureLoader(FeatureStore(store_root), "val", 1,
+                               normalizer=normalizer, shuffle=False,
+                               drop_last=False)
+
+    @jax.jit
+    def val_nll(params, model_state, feats, audio, speaker):
+        q = mu_law_encode(audio, cfg["quantize"])
+        x_dec = jax.nn.one_hot(q[:, :-1], cfg["quantize"])
+        out = wavenet_vqvae_apply(params, model_state, wavenet_cfg, feats,
+                                  x_dec, speaker, cfg, training=False)
+        logp = jax.nn.log_softmax(out.reconstructed_x, axis=-1)
+        ce = -jnp.mean(jnp.take_along_axis(logp, q[:, 1:][..., None],
+                                           axis=-1))
+        return ce, out.perplexity
+
+    val_nlls = []
+    val_batches = []
+    for batch in val_loader:
+        ce, perp = val_nll(params, model_state,
+                           jnp.asarray(batch["input_features"]),
+                           jnp.asarray(batch["preprocessed_audio"]),
+                           jnp.asarray(batch["speaker_id"]))
+        val_nlls.append(float(ce))
+        val_batches.append(batch)
+    val_nll_mean = float(np.mean(val_nlls))
+    print(json.dumps({"val_teacher_forced_nll": round(val_nll_mean, 4),
+                      "uniform": round(UNIFORM_NLL, 4)}), flush=True)
+
+    # ---- generate from a val utterance's codes ----
+    from vqvae_speech_tpu.nn import conv1d
+    from vqvae_speech_tpu.models.encoder import convolutional_encoder_apply
+    from vqvae_speech_tpu.models.vq import vector_quantizer_apply
+    from vqvae_speech_tpu.models.wavenet.incremental import (
+        wavenet_incremental_generate)
+    from vqvae_speech_tpu.ops.dsp import logfbank
+
+    gen_rows = {}
+    batch = val_batches[0]
+    feats = jnp.asarray(batch["input_features"])
+    speaker = jnp.asarray(batch["speaker_id"])
+    gt_audio = np.asarray(batch["preprocessed_audio"])[0]
+
+    @jax.jit
+    def codes_to_lc(params, model_state, feats):
+        z = convolutional_encoder_apply(params["encoder"], feats,
+                                        cfg["num_residual_layers"])
+        z = conv1d(params["pre_vq_conv"], z, padding=0)
+        vq_out = vector_quantizer_apply(
+            params["vq"], model_state["vq"], z,
+            commitment_cost=cfg["commitment_cost"], decay=cfg["decay"],
+            training=False)
+        # eval path: no jitter; the k2 mixer then feeds the WaveNet's own
+        # 384x upsampling inside the incremental decode
+        return conv1d(params["decoder"]["conv_1"], vq_out.quantized,
+                      padding=0), vq_out.indices
+
+    lc, codes = codes_to_lc(params, model_state, feats)
+    T = min(cfg["length"], int(lc.shape[1]) * 384)
+
+    for label, kwargs in (("f32", {}), ("int8", dict(weight_quant="int8"))):
+        t_gen = time.time()
+        _, sampled = wavenet_incremental_generate(
+            params["decoder"]["wavenet"], wavenet_cfg,
+            jax.random.PRNGKey(args.seed), T, c=lc, g=speaker, sample=True,
+            **kwargs)
+        sampled = np.asarray(sampled)            # (1, T) int bins
+        gen_wall = time.time() - t_gen
+        gen_audio = np.asarray(mu_law_decode(jnp.asarray(sampled),
+                                             cfg["quantize"]))[0]
+
+        # score the generated stream under the trained model (teacher-forced
+        # NLL of its own output — the distribution-faithfulness metric)
+        q_gen = jnp.asarray(sampled)
+        audio_like = jnp.asarray(gen_audio[None])
+        # pad to length+1 for the model's (length+1) audio contract
+        pad = cfg["length"] + 1 - gen_audio.shape[0]
+        audio_padded = jnp.pad(audio_like, ((0, 0), (0, max(pad, 0))))
+        ce_gen, _ = val_nll(params, model_state, feats, audio_padded, speaker)
+
+        # descriptive mel-envelope comparison on the overlapping region
+        mel_gt = np.asarray(logfbank(jnp.asarray(gt_audio[None, :T]),
+                                     cfg["sampling_rate"]))[0]
+        mel_gen = np.asarray(logfbank(jnp.asarray(gen_audio[None, :T]),
+                                      cfg["sampling_rate"]))[0]
+        n = min(len(mel_gt), len(mel_gen))
+        mel_corr = float(np.corrcoef(mel_gt[:n].ravel(),
+                                     mel_gen[:n].ravel())[0, 1])
+        np.save(os.path.join(root, f"generated_{label}.npy"), gen_audio)
+        gen_rows[label] = {
+            "gen_samples": int(T),
+            "gen_wall_s": round(gen_wall, 2),
+            "gen_stream_nll_under_model": round(float(ce_gen), 4),
+            "mel_envelope_corr_vs_groundtruth": round(mel_corr, 4),
+        }
+        print(json.dumps({label: gen_rows[label]}), flush=True)
+
+    summary = {
+        "config": "vctk_wavenet.yaml scale (20L/768ch decoder, mu-law 256)",
+        "platform": jax.default_backend(),
+        "epochs": args.epochs, "batch": args.batch, "seed": args.seed,
+        "train_ce_first_step": round(train_ce_first, 4),
+        "train_ce_final": round(train_ce_final, 4),
+        "val_teacher_forced_nll": round(val_nll_mean, 4),
+        "uniform_nll": round(UNIFORM_NLL, 4),
+        "num_val_utterances": len(val_nlls),
+        "codes_used": int(np.unique(np.asarray(codes)).size),
+        "generation": gen_rows,
+        "wall_s": round(time.time() - t0, 1),
+    }
+    with open(os.path.join(root, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+    # the learning gates: training must beat uniform by a wide margin and
+    # the held-out teacher-forced NLL must follow (harmonic audio is highly
+    # AR-predictable; a model that only memorized noise would sit near 5.5)
+    assert train_ce_final < 3.0, summary
+    assert val_nll_mean < 3.5, summary
+    # distribution faithfulness: the model scores its own samples at (or
+    # below) the likelihood it assigns real audio, same reading as
+    # int8_fidelity (free-running streams are not sample-aligned with gt)
+    for label, row in gen_rows.items():
+        assert row["gen_stream_nll_under_model"] < UNIFORM_NLL, (label, row)
+
+
+if __name__ == "__main__":
+    main()
