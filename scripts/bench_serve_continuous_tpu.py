@@ -1,0 +1,121 @@
+"""Continuous batching vs bucketed AR serving under mixed-length traffic.
+
+The bucketed server launches whole-utterance scans: a mixed-length batch
+pays head-of-line blocking (every request rides its bucket's full T) and
+bucket padding.  ContinuousSynthesisServer keeps the slot pool full by
+advancing all slots chunk_size samples per launch and admitting/retiring at
+chunk boundaries.  This bench drains the SAME mixed-length workload through
+both servers at vctk_wavenet.yaml scale and reports true-sample throughput
+(samples actually requested, not padded), launches, and slot utilization.
+
+All timings host-fetch bounded (both servers return numpy waves).
+
+Usage: python scripts/bench_serve_continuous_tpu.py [--requests 32]
+Writes serving_continuous/summary.json.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=32)
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--chunk", type=int, default=512)
+    ap.add_argument("--quant", default="int8", choices=["int8", "bf16"])
+    ap.add_argument("--out", default="serving_continuous")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from vqvae_speech_tpu.models.wavenet import WaveNetConfig, wavenet_init
+    from vqvae_speech_tpu.serve import (
+        BucketedSynthesisServer, ContinuousSynthesisServer)
+
+    cfg = WaveNetConfig(
+        out_channels=256, layers=20, stacks=2, residual_channels=768,
+        gate_channels=1536, skip_out_channels=256, kernel_size=3,
+        dropout=0.0, cin_channels=64, gin_channels=0, n_speakers=0,
+        upsample_conditional_features=True,
+        upsample_scales=(2, 2, 2, 2, 2, 12))
+    params = wavenet_init(jax.random.PRNGKey(0), cfg)
+    up = int(np.prod(cfg.upsample_scales))          # 384
+
+    # mixed-length workload: 2..10 latent frames (768..3840 samples), the
+    # shape real requests arrive in — NOT one uniform bucket
+    rng = np.random.default_rng(0)
+    frames = rng.integers(2, 11, size=args.requests)
+    conds = [rng.standard_normal((int(n), cfg.cin_channels))
+             .astype(np.float32) for n in frames]
+    true_samples = int(sum(int(n) * up for n in frames))
+
+    kw = (dict(compute_dtype=jnp.bfloat16) if args.quant == "bf16"
+          else dict(weight_quant="int8"))
+
+    rows = {}
+
+    # ---- bucketed baseline: buckets at 4 and 10 frames, batch = slots ----
+    bucketed = BucketedSynthesisServer(
+        params, cfg, frame_buckets=(4, 10), max_batch=args.slots,
+        sample=True, **kw)
+    bucketed.synthesize(conds[:1])                      # warm small bucket
+    bucketed.synthesize([conds[int(np.argmax(frames))]])  # warm big bucket
+    t0 = time.perf_counter()
+    waves = bucketed.synthesize(conds)
+    dt_b = time.perf_counter() - t0
+    assert all(w.wave.shape[0] == int(n) * up
+               for w, n in zip(waves, frames))
+    # padded samples actually decoded: every launch rides its bucket
+    rows["bucketed"] = {
+        "wall_s": round(dt_b, 3),
+        "true_samples_per_s": round(true_samples / dt_b, 1),
+        "launches": bucketed.stats["launches"] - 2,
+    }
+    print(json.dumps(rows["bucketed"]), flush=True)
+
+    # ---- continuous batching ----
+    cont = ContinuousSynthesisServer(
+        params, cfg, slots=args.slots, chunk_size=args.chunk,
+        max_frames=10, sample=True, **kw)
+    cont.run(conds[:1])                                 # warm: compile
+    cont._launches = 0
+    cont._busy_steps = 0
+    cont._slot_steps = 0
+    t0 = time.perf_counter()
+    waves = cont.run(conds)
+    dt_c = time.perf_counter() - t0
+    assert all(w.wave.shape[0] == int(n) * up
+               for w, n in zip(waves, frames))
+    rows["continuous"] = {
+        "wall_s": round(dt_c, 3),
+        "true_samples_per_s": round(true_samples / dt_c, 1),
+        "launches": cont.stats["launches"],
+        "slot_utilization": cont.stats["slot_utilization"],
+    }
+    print(json.dumps(rows["continuous"]), flush=True)
+
+    summary = {
+        "platform": jax.devices()[0].platform,
+        "requests": args.requests, "slots": args.slots,
+        "chunk_size": args.chunk, "quant": args.quant,
+        "frames_min_max": [int(frames.min()), int(frames.max())],
+        "true_samples": true_samples,
+        "rows": rows,
+        "speedup_continuous_over_bucketed": round(dt_b / dt_c, 3),
+    }
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

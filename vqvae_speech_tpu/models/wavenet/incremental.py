@@ -58,6 +58,66 @@ def _mm(x, lw, key):
     return x @ w
 
 
+def cast_floating(params, compute_dtype):
+    """Cast every floating leaf to ``compute_dtype`` (weight-streaming dtype)."""
+    if compute_dtype is None:
+        return params
+    return jax.tree_util.tree_map(
+        lambda v: v.astype(compute_dtype)
+        if jnp.issubdtype(v.dtype, jnp.floating) else v, params)
+
+
+def hoist_conditioning(params, cfg: WaveNetConfig, c, g, B, T):
+    """Pre-project local+global conditioning to per-layer gate rows.
+
+    One big MXU matmul over all T steps per layer, instead of the
+    reference's per-step re-projection (wavenet.py:335-346).  ``c`` must
+    already be upsampled/trimmed to (B, T, cin).  Returns a list with one
+    (B, T, gate) array (or None) per layer.
+    """
+    g_b1c = _expand_global(params, g, B, 1, cfg)
+    cond = []
+    for p in params["conv_layers"]:
+        ct = None
+        if c is not None and "conv1x1c" in p:
+            ct = conv1d(p["conv1x1c"], c)              # (B, T, gate)
+        if g_b1c is not None and "conv1x1g" in p:
+            gh = conv1d(p["conv1x1g"], g_b1c)[:, 0]     # (B, gate)
+            ct = gh[:, None, :] + ct if ct is not None else \
+                jnp.broadcast_to(gh[:, None, :], (B, T, gh.shape[-1]))
+        cond.append(ct)  # (B, T, gate) or None
+    return cond
+
+
+def prepare_decode_weights(params, cfg: WaveNetConfig, weight_quant=None):
+    """Materialize all weight-norm kernels ONCE (outside the scan body),
+    optionally int8-quantizing the GLU-stack weights (weight-only)."""
+    assert weight_quant in (None, "int8"), weight_quant
+    prep = {"w_first": conv_weight(params["first_conv"])[0],
+            "b_first": params["first_conv"]["b"],
+            "w_last1": conv_weight(params["last_conv_1"])[0],
+            "b_last1": params["last_conv_1"]["b"],
+            "w_last2": conv_weight(params["last_conv_2"])[0],
+            "b_last2": params["last_conv_2"]["b"]}
+    layer_weights = []
+    for p in params["conv_layers"]:
+        lw = {"conv_w": conv_weight(p["conv"]), "conv_b": p["conv"]["b"],
+              "skip_w": conv_weight(p["conv1x1_skip"])[0],
+              "skip_b": p["conv1x1_skip"]["b"],
+              "out_w": conv_weight(p["conv1x1_out"])[0],
+              "out_b": p["conv1x1_out"]["b"]}
+        if weight_quant == "int8":
+            lw["conv_w"], lw["conv_w_scale"] = _quantize_int8(
+                lw["conv_w"], axes=(0, 1))
+            lw["skip_w"], lw["skip_w_scale"] = _quantize_int8(
+                lw["skip_w"], axes=(0,))
+            lw["out_w"], lw["out_w_scale"] = _quantize_int8(
+                lw["out_w"], axes=(0,))
+        layer_weights.append(lw)
+    prep["layers"] = tuple(layer_weights)
+    return prep
+
+
 def _step_layer(lw, x_t, buf, t, cond_t, cfg: WaveNetConfig, dilation):
     """One GLU layer at one timestep.
 
@@ -129,10 +189,7 @@ def wavenet_incremental_generate(params, cfg: WaveNetConfig, rng, T: int,
         assert weight_quant is None, (
             "use_fused_stack composes with f32 only; the int8 scan path is "
             "already at the weight-streaming floor (see RESULTS.md)")
-    if compute_dtype is not None:
-        params = jax.tree_util.tree_map(
-            lambda v: v.astype(compute_dtype)
-            if jnp.issubdtype(v.dtype, jnp.floating) else v, params)
+    params = cast_floating(params, compute_dtype)
     # activation dtype follows the parameters
     act_dtype = params["first_conv"]["b"].dtype
     if c is not None:
@@ -146,19 +203,8 @@ def wavenet_incremental_generate(params, cfg: WaveNetConfig, rng, T: int,
     else:
         B = 1 if initial_input is None else initial_input.shape[0]
 
-    g_b1c = _expand_global(params, g, B, 1, cfg)
-
     # Hoist conditioning projections out of the scan: one matmul over all T.
-    cond = []
-    for p in params["conv_layers"]:
-        ct = None
-        if c is not None and "conv1x1c" in p:
-            ct = conv1d(p["conv1x1c"], c)              # (B, T, gate)
-        if g_b1c is not None and "conv1x1g" in p:
-            gh = conv1d(p["conv1x1g"], g_b1c)[:, 0]     # (B, gate)
-            ct = gh[:, None, :] + ct if ct is not None else \
-                jnp.broadcast_to(gh[:, None, :], (B, T, gh.shape[-1]))
-        cond.append(ct)  # (B, T, gate) or None
+    cond = hoist_conditioning(params, cfg, c, g, B, T)
     # stack layers with conditioning into one scanned array where present
     have_cond = [ct is not None for ct in cond]
     cond_stack = (jnp.stack([ct for ct in cond if ct is not None], axis=0)
@@ -174,27 +220,11 @@ def wavenet_incremental_generate(params, cfg: WaveNetConfig, rng, T: int,
         x0 = initial_input.reshape(B, in_ch).astype(dtype)
 
     # Materialize all weight-norm kernels ONCE (outside the scan body).
-    w_first = conv_weight(params["first_conv"])[0]
-    b_first = params["first_conv"]["b"]
-    w_last1 = conv_weight(params["last_conv_1"])[0]
-    b_last1 = params["last_conv_1"]["b"]
-    w_last2 = conv_weight(params["last_conv_2"])[0]
-    b_last2 = params["last_conv_2"]["b"]
-    layer_weights = []
-    for p in params["conv_layers"]:
-        lw = {"conv_w": conv_weight(p["conv"]), "conv_b": p["conv"]["b"],
-              "skip_w": conv_weight(p["conv1x1_skip"])[0],
-              "skip_b": p["conv1x1_skip"]["b"],
-              "out_w": conv_weight(p["conv1x1_out"])[0],
-              "out_b": p["conv1x1_out"]["b"]}
-        if weight_quant == "int8":
-            lw["conv_w"], lw["conv_w_scale"] = _quantize_int8(
-                lw["conv_w"], axes=(0, 1))
-            lw["skip_w"], lw["skip_w_scale"] = _quantize_int8(
-                lw["skip_w"], axes=(0,))
-            lw["out_w"], lw["out_w_scale"] = _quantize_int8(
-                lw["out_w"], axes=(0,))
-        layer_weights.append(lw)
+    prep = prepare_decode_weights(params, cfg, weight_quant=weight_quant)
+    w_first, b_first = prep["w_first"], prep["b_first"]
+    w_last1, b_last1 = prep["w_last1"], prep["b_last1"]
+    w_last2, b_last2 = prep["w_last2"], prep["b_last2"]
+    layer_weights = prep["layers"]
     fused_w = None
     if use_fused_stack:
         fused_w = {

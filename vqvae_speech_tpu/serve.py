@@ -453,3 +453,134 @@ class BucketedParallelSynthesisServer:
         return {"compiled_buckets": sorted(self._compiled),
                 "launches": self._launches, "max_batch": self._max_batch,
                 "upsample_factor": self._upsample_factor}
+
+
+class ContinuousSynthesisServer:
+    """Continuous-batching AR synthesis: device-resident decode slots.
+
+    The bucketed AR server launches whole-utterance scans, so a mixed-length
+    batch pays head-of-line blocking (every request rides the longest
+    bucket) and queued requests wait for the full launch.  This server
+    applies LLM-style continuous batching to the WaveNet decode loop
+    (models/wavenet/chunked.py): ``slots`` decode streams live on device,
+    every launch advances ALL of them ``chunk_size`` samples, and requests
+    join/retire at chunk boundaries — the batch stays full under
+    mixed-length traffic and a queued request starts within one chunk
+    (~chunk_size/rate seconds) instead of one utterance.
+
+    Contracts (tests/test_continuous_serve.py):
+    * greedy streams are bit-identical to a standalone batch-1 greedy
+      decode of the same request (conditioning is hoisted at admission at
+      batch 1, exactly like the standalone scan);
+    * a request's stream — greedy or sampled — is independent of batch
+      composition and admission time: sampling uses per-slot PRNG chains
+      seeded from the request's own key (`fold_in(PRNGKey(seed), index)`),
+      unlike the bucketed server's shared-key categorical;
+    * ONE compiled chunk program serves the whole lifetime (static
+      (slots, chunk_size)); admission is a donated .at[slot] update.
+
+    max_frames : longest admissible conditioning length (latent frames);
+        fixes the device-resident conditioning buffer's static shape.
+    """
+
+    def __init__(self, params, cfg, *,
+                 slots: int = 8,
+                 chunk_size: int = 256,
+                 max_frames: int = 40,
+                 sample: bool = False,
+                 compute_dtype=None,
+                 weight_quant: Optional[str] = None):
+        from vqvae_speech_tpu.models.wavenet.chunked import init_decode_slots
+
+        self._params = params
+        self._cfg = cfg
+        self._slots = int(slots)
+        self._chunk = int(chunk_size)
+        self._sample = bool(sample)
+        self._compute_dtype = compute_dtype
+        self._weight_quant = weight_quant
+        factor = 1
+        if cfg.upsample_conditional_features:
+            for s in cfg.upsample_scales:
+                factor *= int(s)
+        self._upsample_factor = factor
+        self._max_t = int(max_frames) * factor
+        self._prep, self._state = init_decode_slots(
+            params, cfg, self._slots, self._max_t,
+            compute_dtype=compute_dtype, weight_quant=weight_quant)
+        self._launches = 0
+        self._busy_steps = 0
+        self._slot_steps = 0
+
+    def run(self, conds: Sequence[np.ndarray],
+            speaker_ids: Optional[Sequence[int]] = None,
+            seed: int = 0) -> List[SynthesisResult]:
+        """Drain a queue of requests through the slot pool.
+
+        conds: per-request (Tc, cin) local-conditioning arrays.  Returns
+        trimmed waves in request order.  Each request's wave depends only
+        on (params, its conditioning, its speaker, seed, its index)."""
+        import jax
+        from collections import deque
+        from vqvae_speech_tpu.models.wavenet.chunked import (
+            admit_slot, decode_chunk, slot_conditioning)
+
+        for c in conds:
+            if c.shape[0] * self._upsample_factor > self._max_t:
+                raise ValueError(
+                    f"conditioning of {c.shape[0]} frames exceeds "
+                    f"max_frames {self._max_t // self._upsample_factor}")
+        base_key = jax.random.PRNGKey(seed)
+        queue = deque(range(len(conds)))
+        # slot -> [request index, samples remaining, collected chunks]
+        active: Dict[int, list] = {}
+        results: List[Optional[SynthesisResult]] = [None] * len(conds)
+        state = self._state
+
+        while queue or active:
+            for s in range(self._slots):
+                if s in active or not queue:
+                    continue
+                i = queue.popleft()
+                g = None if speaker_ids is None else speaker_ids[i]
+                # zero-pad to the slot capacity: slot_conditioning is ONE
+                # compiled program over the static (max_frames, cin) shape
+                max_frames = self._max_t // self._upsample_factor
+                c = np.zeros((max_frames, conds[i].shape[-1]), np.float32)
+                c[:conds[i].shape[0]] = conds[i]
+                rows = slot_conditioning(
+                    self._params, self._cfg, c, g, self._max_t,
+                    compute_dtype=self._compute_dtype)
+                key = jax.random.fold_in(base_key, i)
+                state = admit_slot(state, s, rows, key)
+                active[s] = [i, conds[i].shape[0] * self._upsample_factor,
+                             []]
+            state, emitted = decode_chunk(
+                self._prep, state, self._cfg, self._chunk,
+                sample=self._sample)
+            emitted = np.asarray(emitted)
+            self._launches += 1
+            self._slot_steps += self._slots * self._chunk
+            for s in list(active):
+                i, remaining, parts = active[s]
+                take = min(remaining, self._chunk)
+                parts.append(emitted[s, :take])
+                self._busy_steps += take
+                if remaining <= self._chunk:
+                    results[i] = SynthesisResult(
+                        wave=np.concatenate(parts),
+                        bucket=self._max_t // self._upsample_factor)
+                    del active[s]
+                else:
+                    active[s][1] = remaining - take
+        self._state = state
+        return results  # type: ignore[return-value]
+
+    @property
+    def stats(self) -> dict:
+        util = (self._busy_steps / self._slot_steps
+                if self._slot_steps else 0.0)
+        return {"launches": self._launches, "slots": self._slots,
+                "chunk_size": self._chunk,
+                "slot_utilization": round(util, 4),
+                "upsample_factor": self._upsample_factor}
