@@ -243,6 +243,12 @@ def main():
                          "extension (jitter_gradient_detach: false) — the "
                          "w24 gate's 'flow_gradient_extension' row at "
                          "flagship scale")
+    ap.add_argument("--revival", action="store_true",
+                    help="flagship variant with the codebook-revival "
+                         "extension (codebook_revival: true) — dead codes "
+                         "re-seeded from batch latents during training "
+                         "(train/trainer.py; the reference explored this "
+                         "in old/vqvae_2d_improved.py)")
     ap.add_argument("--seeds", default=None,
                     help="comma-separated seed override (flagship probing)")
     ap.add_argument("--epochs", type=int, default=None)
@@ -276,6 +282,9 @@ def main():
         if args.flow_gradient:
             spec["overrides"] = dict(spec["overrides"],
                                      jitter_gradient_detach=False)
+        if args.revival:
+            spec["overrides"] = dict(spec["overrides"],
+                                     codebook_revival=True)
         if args.seeds:
             spec["seeds"] = tuple(int(s) for s in args.seeds.split(","))
         if args.epochs:
@@ -293,7 +302,8 @@ def main():
         # the variant gets its own default root AND artifact name: run()'s
         # clean-room wipe must never destroy the parity-gate artifacts, and
         # the two summaries must be distinguishable at a glance
-        variant = "_flowgrad" if args.flow_gradient else ""
+        variant = ("_flowgrad" if args.flow_gradient else "") + \
+            ("_revival" if args.revival else "")
         root = (args.root if args.root != "quality_run"
                 else "quality_run_flagship" + variant)
         summary = run(root, spec, "phonemes_flagship" + variant)

@@ -292,3 +292,82 @@ def test_loader_skips_output_normalization_on_width_mismatch(tmp_path):
                                   normalizer=load_normalizer(norm39),
                                   shuffle=False)))
     assert not np.allclose(b39["output_features"], inp[:4] * 2.0 + 1.0)
+
+
+def _revival_step_setup(decay, revival=True, seed=0):
+    import jax
+    from vqvae_speech_tpu.models import conv_vqvae_init
+    from vqvae_speech_tpu.train.trainer import (
+        make_train_step, make_optimizer, create_train_state)
+
+    cfg = dict(TINY_CFG, decay=decay, codebook_revival=revival,
+               revival_usage_decay=0.5)
+    key = jax.random.PRNGKey(seed)
+    params, mstate = conv_vqvae_init(key, cfg)
+    state = create_train_state(jax.random.PRNGKey(1), params, mstate,
+                               make_optimizer(cfg["learning_rate"]))
+    step = make_train_step(cfg, make_optimizer(cfg["learning_rate"]))
+    return cfg, state, step
+
+
+def _far_codebook(state, decay):
+    """Push every code far from the data so all codes start dead."""
+    if decay > 0:
+        vq = dict(state.model_state["vq"])
+        vq["codebook"] = vq["codebook"] + 100.0
+        vq["ema_w"] = vq["ema_w"] + 100.0
+        ms = dict(state.model_state, vq=vq)
+        return state._replace(model_state=ms)
+    params = dict(state.params)
+    params = dict(params, vq=dict(params["vq"],
+                                  codebook=params["vq"]["codebook"] + 100.0))
+    return state._replace(params=params)
+
+
+@pytest.mark.parametrize("decay", [0.0, 0.99])
+def test_codebook_revival_reseeds_dead_codes(decay):
+    """With every code pushed 100 sigma from the data, all assignments
+    collapse onto one nearest code; the revival extension must re-seed the
+    dead codes from batch latents within a few steps, reviving usage."""
+    import jax
+    import numpy as np
+
+    cfg, state, step = _revival_step_setup(decay)
+    state = _far_codebook(state, decay)
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_features": rng.standard_normal((4, 32, 39)).astype(np.float32),
+        "output_features": rng.standard_normal((4, 32, 39)).astype(np.float32),
+    }
+    revived = []
+    perps = []
+    for _ in range(6):
+        state, metrics = step(state, batch)
+        revived.append(float(metrics["revived_codes"]))
+        perps.append(float(metrics["perplexity"]))
+    # usage EMA (decay 0.5) must flag dead codes within a few steps and
+    # re-seed them into the latent cloud
+    assert max(revived) > 0, revived
+    cb = (state.model_state["vq"]["codebook"] if decay > 0
+          else state.params["vq"]["codebook"])
+    # re-seeded codes live in the data range, not at +100
+    assert float(np.median(np.abs(np.asarray(cb)))) < 50.0
+    # and late perplexity (code usage) beats the collapsed start
+    assert perps[-1] > perps[0], perps
+
+
+def test_codebook_revival_off_is_reference_exact():
+    """Default (no revival): the step must be bit-identical to the pre-
+    extension step — same params, same metrics, no usage state."""
+    import jax
+    import numpy as np
+
+    cfg, state, step = _revival_step_setup(0.0, revival=False)
+    assert "revival" not in state.model_state
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_features": rng.standard_normal((4, 32, 39)).astype(np.float32),
+        "output_features": rng.standard_normal((4, 32, 39)).astype(np.float32),
+    }
+    state, metrics = step(state, batch)
+    assert "revived_codes" not in metrics

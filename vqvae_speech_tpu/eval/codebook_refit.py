@@ -102,7 +102,9 @@ def lloyd_kmeans(X, k, seed, iters: int = 50):
     latent-cloud scale."""
     X = np.asarray(X)
     rng = np.random.default_rng(seed)
-    cents = X[rng.choice(len(X), k, replace=False)]
+    # replace=False needs k distinct rows; fall back to with-replacement on
+    # degenerate (smaller-than-k) clouds rather than crash
+    cents = X[rng.choice(len(X), k, replace=len(X) < k)]
     a = np.zeros(len(X), dtype=np.int64)
     for _ in range(iters):
         a = np.argmin(_sqdist(X, cents), axis=1)

@@ -36,6 +36,9 @@ class ConvVQVAEOutput(NamedTuple):
     encodings: jax.Array         # (B, T', K)
     distances: jax.Array         # (B, T', K)
     new_state: Optional[dict]
+    # stop-gradient pre-VQ latents (B, T', D) — reseeding source for the
+    # codebook-revival extension (train/trainer.py); None outside training
+    pre_vq_latents: Optional[jax.Array] = None
 
 
 def conv_vqvae_init(key, config: dict, dtype=jnp.float32):
@@ -68,25 +71,33 @@ def conv_vqvae_init(key, config: dict, dtype=jnp.float32):
             config.get("num_speakers", 0), dtype),
     }
     state = {"vq": vq_state}
+    if config.get("codebook_revival", False):
+        # usage EMA of per-code assignment fractions (uniform at init) —
+        # the revival extension's dead-code detector (train/trainer.py)
+        K = config["num_embeddings"]
+        state["revival"] = {"usage": jnp.full((K,), 1.0 / K, dtype)}
     return params, state
 
 
 def conv_vqvae_encode(params, state, x, config: dict, *, training: bool = False,
-                      use_pallas: Optional[bool] = None):
+                      use_pallas: Optional[bool] = None,
+                      return_latents: bool = False):
     """Encoder + pre-VQ + VQ (the hot path benchmarked against the reference).
 
-    x: (B, T, features) normalized input features.
+    x: (B, T, features) normalized input features.  With
+    ``return_latents`` also returns the pre-VQ latents (B, T', D).
     """
     z = convolutional_encoder_apply(params["encoder"], x,
                                     config["num_residual_layers"])
     z = conv1d(params["pre_vq_conv"], z, padding=1)
-    return vector_quantizer_apply(
+    vq_out = vector_quantizer_apply(
         params["vq"], state["vq"], z,
         commitment_cost=config["commitment_cost"],
         decay=config["decay"],
         training=training,
         use_pallas=use_pallas,
     )
+    return (vq_out, z) if return_latents else vq_out
 
 
 def conv_vqvae_apply(params, state, x, config: dict, *, training: bool = False,
@@ -95,8 +106,9 @@ def conv_vqvae_apply(params, state, x, config: dict, *, training: bool = False,
     """Full forward.  x: (B, T, C_in) features (layout note: the reference
     receives (B, T, C) from its dataset and permutes to channels-first,
     convolutional_vq_vae.py:118 — our layout is natively (B, T, C))."""
-    vq_out = conv_vqvae_encode(params, state, x, config, training=training,
-                               use_pallas=use_pallas)
+    vq_out, z = conv_vqvae_encode(params, state, x, config,
+                                  training=training, use_pallas=use_pallas,
+                                  return_latents=True)
     jitter_key = rng if rng is not None else jax.random.PRNGKey(0)
     recon = deconvolutional_decoder_apply(
         params["decoder"], vq_out.quantized,
@@ -129,4 +141,5 @@ def conv_vqvae_apply(params, state, x, config: dict, *, training: bool = False,
         encodings=vq_out.encodings,
         distances=vq_out.distances,
         new_state=new_state,
+        pre_vq_latents=jax.lax.stop_gradient(z),
     )

@@ -11,22 +11,29 @@ device-resident decode SLOTS and advances all of them K samples per
 compiled launch; requests join and retire at chunk boundaries, so the batch
 stays full under mixed-length traffic.
 
-TPU-idiomatic mechanics:
+TPU-idiomatic mechanics (and one measured lesson):
 
 * ONE compiled program for the server's lifetime (static (B, K) shapes);
   admission is a donated ``.at[slot]`` update of the state arrays, never a
-  recompile or a host round-trip of the ring buffers;
-* per-slot absolute clock ``t (B,)`` — ring-buffer slots, causal masking,
-  and conditioning rows are indexed per slot (``take_along_axis``) instead
-  of by a shared scan index, so streams at different progress coexist in
-  one launch;
+  recompile;
+* **shared global clock.**  A first implementation carried a per-slot clock
+  and indexed every ring buffer with per-slot positions — which lowers to
+  real gathers/scatters in all ``layers`` buffers every step and measured
+  ~100x slower than the whole-utterance scan on TPU.  Instead the server
+  keeps ONE global clock ``g``; every slot's ring position is the shared
+  scalar ``mod(g, L)`` (fast dynamic slices, identical to the standalone
+  scan), and per-slot-ness reduces to an admission offset ``start (B,)``:
+  causal masking uses the slot's age ``g - lag >= start`` and conditioning
+  rows are fetched with ONE ``take_along_axis`` per step at the slot-local
+  time ``g - start``.  Ring semantics are phase-invariant, so the math is
+  bit-identical to a slot-local clock;
 * per-slot PRNG chains — a request's sampled stream is a function of its
-  own admission key only, independent of batch composition (the bucketed
-  server's shared-key `jax.random.categorical` is composition-dependent by
-  construction);
+  own admission key and slot-local step only, independent of batch
+  composition (the bucketed server's shared-key categorical is
+  composition-dependent by construction);
 * conditioning is upsampled + projected to per-layer gate rows at ADMISSION
   at batch 1 — exactly the standalone hoisting
-  (incremental.py:hoist_conditioning) — so a slot's math is bit-identical
+  (incremental.py:hoist_conditioning) — so a slot's stream is bit-identical
   to a standalone batch-1 greedy decode of the same request.
 """
 import math
@@ -53,11 +60,11 @@ def init_decode_slots(params, cfg: WaveNetConfig, slots: int, max_t: int,
     Returns ``(prep, state)``:
     prep  — prepared (weight-norm-materialized, optionally int8) weights,
             uploaded once and shared by every chunk launch;
-    state — dict of per-slot arrays: ``x`` (B, in_ch) next input, ``t``
-            (B,) per-slot clock, ``keys`` (B, 2) per-slot PRNG chains,
-            ``bufs`` per-layer ring buffers, and ``cond`` (layers, B,
-            max_t, gate) pre-projected conditioning rows (zeros until a
-            request is admitted; absent when the model is unconditioned).
+    state — per-slot arrays: ``x`` (B, in_ch) next input, ``g`` () shared
+            clock, ``start`` (B,) per-slot admission clock, ``keys`` (B, 2)
+            per-slot PRNG chains, ``bufs`` per-layer ring buffers, and
+            ``cond`` (B, max_t, layers, gate) pre-projected conditioning
+            rows (zeros until admission; absent when unconditioned).
     """
     params = cast_floating(params, compute_dtype)
     act_dtype = params["first_conv"]["b"].dtype
@@ -74,13 +81,14 @@ def init_decode_slots(params, cfg: WaveNetConfig, slots: int, max_t: int,
                               act_dtype))
     state = {
         "x": x0,
-        "t": jnp.zeros((slots,), jnp.int32),
+        "g": jnp.zeros((), jnp.int32),
+        "start": jnp.zeros((slots,), jnp.int32),
         "keys": jnp.zeros((slots, 2), jnp.uint32),
         "bufs": tuple(bufs),
     }
     if cfg.cin_channels > 0 or cfg.gin_channels > 0:
         state["cond"] = jnp.zeros(
-            (cfg.layers, slots, max_t, cfg.gate_channels), act_dtype)
+            (slots, max_t, cfg.layers, cfg.gate_channels), act_dtype)
     return prep, state
 
 
@@ -94,7 +102,7 @@ def slot_conditioning(params, cfg: WaveNetConfig, c, g, max_t: int,
     admission; the subpixel upsamplers draw exactly one input frame per
     output, so padding never leaks into the true range) or None; g: scalar
     speaker id or None.  Upsamples and projects at batch 1 — the same
-    hoisting the standalone scan performs — returns (layers, max_t, gate).
+    hoisting the standalone scan performs — returns (max_t, layers, gate).
     """
     params = cast_floating(params, compute_dtype)
     act_dtype = params["first_conv"]["b"].dtype
@@ -112,66 +120,32 @@ def slot_conditioning(params, cfg: WaveNetConfig, c, g, max_t: int,
         if ct is None:
             ct = jnp.zeros((1, T, cfg.gate_channels), act_dtype)
         rows.append(ct)
-    out = jnp.concatenate(rows, axis=0)                 # (layers, T, gate)
+    out = jnp.stack([r[0] for r in rows], axis=1)     # (T, layers, gate)
     if T < max_t:
-        out = jnp.pad(out, ((0, 0), (0, max_t - T), (0, 0)))
+        out = jnp.pad(out, ((0, max_t - T), (0, 0), (0, 0)))
     return out
 
 
 @partial(jax.jit, donate_argnums=(0,))
 def admit_slot(state, slot, cond_rows, key):
-    """Reset slot ``slot`` for a new request: clear its ring buffers and
-    clock, seed its PRNG chain, and install its conditioning rows.
+    """Admit a request into slot ``slot``: pin its admission clock to the
+    shared clock, seed its PRNG chain, reset its next-input, and install
+    its conditioning rows.  Ring buffers need no reset — causal masking by
+    slot age (g - lag >= start) makes pre-admission rows unreadable.
     Donated: updates happen in place on the server state."""
     x = state["x"].at[slot].set(0.0)
     if state["x"].shape[-1] > 1:                        # one-hot input mode
         x = x.at[slot, 127].set(1.0)
     new = {
         "x": x,
-        "t": state["t"].at[slot].set(0),
+        "g": state["g"],
+        "start": state["start"].at[slot].set(state["g"]),
         "keys": state["keys"].at[slot].set(key),
-        "bufs": tuple(b.at[slot].set(0.0) for b in state["bufs"]),
+        "bufs": state["bufs"],
     }
     if "cond" in state:
-        new["cond"] = state["cond"].at[:, slot].set(cond_rows)
+        new["cond"] = state["cond"].at[slot].set(cond_rows)
     return new
-
-
-def _step_layer_slots(lw, x_t, buf, t, cond_t, cfg: WaveNetConfig,
-                      dilation):
-    """One GLU layer at per-slot times ``t (B,)`` (cf. incremental.py's
-    shared-clock `_step_layer`; identical math, per-slot indexing)."""
-    k = cfg.kernel_size
-    B, L = buf.shape[0], buf.shape[1]
-    w = lw["conv_w"]                    # (k, C_res, gate)
-    quant = w.dtype == jnp.int8
-    acc = x_t @ (w[k - 1].astype(x_t.dtype) if quant else w[k - 1])
-    for j in range(k - 1):
-        lag = (k - 1 - j) * dilation
-        slot = jnp.mod(t - lag, L)                      # (B,)
-        tap = jnp.take_along_axis(buf, slot[:, None, None], axis=1)[:, 0]
-        tap = jnp.where((t - lag >= 0)[:, None], tap, jnp.zeros_like(tap))
-        acc = acc + tap @ (w[j].astype(tap.dtype) if quant else w[j])
-    if quant:
-        acc = (acc * lw["conv_w_scale"]).astype(x_t.dtype)
-    acc = acc + lw["conv_b"]
-    if cond_t is not None:
-        acc = acc + cond_t
-    a, b = jnp.split(acc, 2, axis=-1)
-    h = jnp.tanh(a) * jax.nn.sigmoid(b)
-
-    def mm(x, key):
-        wk = lw[key]
-        if wk.dtype == jnp.int8:
-            y = jnp.dot(x, wk.astype(x.dtype),
-                        preferred_element_type=jnp.float32)
-            return (y * lw[key + "_scale"]).astype(x.dtype)
-        return x @ wk
-
-    skip = mm(h, "skip_w") + lw["skip_b"]
-    out = mm(h, "out_w") + lw["out_b"]
-    new_buf = buf.at[jnp.arange(B), jnp.mod(t, L)].set(x_t)
-    return (out + x_t) * math.sqrt(0.5), skip, new_buf
 
 
 @partial(jax.jit, donate_argnums=(1,),
@@ -180,32 +154,77 @@ def decode_chunk(prep, state, cfg: WaveNetConfig, K: int,
                  sample: bool = True, log_scale_min: float = -50.0):
     """Advance every slot K samples.  Returns ``(new_state, emitted)`` with
     emitted (B, K) int32 bins (or float samples for scalar_input); the
-    caller slices each slot's span by its own clock.  State is donated —
-    the launch updates the server state in place."""
-    max_t = state["cond"].shape[2] if "cond" in state else None
+    caller slices each slot's span by its own progress (g - start).  State
+    is donated — the launch updates the server state in place."""
+    max_t = state["cond"].shape[1] if "cond" in state else None
+    start = state["start"]
 
     def step(carry, _):
-        x_in, bufs, t, keys = carry
-        keys2 = jax.vmap(jax.random.split)(keys)        # (B, 2, 2)
-        keys_next, k_sample = keys2[:, 0], keys2[:, 1]
+        x_in, bufs, g, keys = carry
+        if sample:
+            keys2 = jax.vmap(jax.random.split)(keys)    # (B, 2, 2)
+            keys_next, k_sample = keys2[:, 0], keys2[:, 1]
+        else:
+            keys_next = keys
         x = x_in @ prep["w_first"] + prep["b_first"]
+
+        cond_all = None
+        if max_t is not None:
+            tc = jnp.clip(g - start, 0, max_t - 1)      # (B,) slot-local t
+            cond_all = jnp.take_along_axis(
+                state["cond"], tc[:, None, None, None], axis=1)[:, 0]
+            # (B, layers, gate)
+
         skips = None
         new_bufs = []
+        k = cfg.kernel_size
         for layer, lw in enumerate(prep["layers"]):
-            cond_t = None
-            if "cond" in state:
-                tc = jnp.clip(t, 0, max_t - 1)
-                cond_t = jnp.take_along_axis(
-                    state["cond"][layer], tc[:, None, None], axis=1)[:, 0]
-            x, h, nb = _step_layer_slots(lw, x, bufs[layer], t, cond_t,
-                                         cfg, cfg.dilation(layer))
-            new_bufs.append(nb)
+            d = cfg.dilation(layer)
+            buf = bufs[layer]
+            L = buf.shape[1]
+            w = lw["conv_w"]
+            quant = w.dtype == jnp.int8
+            acc = x @ (w[k - 1].astype(x.dtype) if quant else w[k - 1])
+            for j in range(k - 1):
+                lag = (k - 1 - j) * d
+                # SHARED ring position: a plain dynamic slice, like the
+                # standalone scan — not a per-slot gather
+                tap = jax.lax.dynamic_index_in_dim(
+                    buf, jnp.mod(g - lag, L), axis=1, keepdims=False)
+                # causal mask by slot age: rows written before this slot's
+                # admission (or before generation started) read as zero
+                alive = (g - lag >= start)[:, None]
+                tap = jnp.where(alive, tap, jnp.zeros_like(tap))
+                acc = acc + tap @ (w[j].astype(tap.dtype) if quant
+                                   else w[j])
+            if quant:
+                acc = (acc * lw["conv_w_scale"]).astype(x.dtype)
+            acc = acc + lw["conv_b"]
+            if cond_all is not None:
+                acc = acc + cond_all[:, layer]
+            a, b = jnp.split(acc, 2, axis=-1)
+            h = jnp.tanh(a) * jax.nn.sigmoid(b)
+
+            def mm(v, key_):
+                wk = lw[key_]
+                if wk.dtype == jnp.int8:
+                    y = jnp.dot(v, wk.astype(v.dtype),
+                                preferred_element_type=jnp.float32)
+                    return (y * lw[key_ + "_scale"]).astype(v.dtype)
+                return v @ wk
+
+            skip = mm(h, "skip_w") + lw["skip_b"]
+            out_l = mm(h, "out_w") + lw["out_b"]
+            new_bufs.append(jax.lax.dynamic_update_index_in_dim(
+                buf, x, jnp.mod(g, L), axis=1))
+            x = (out_l + x) * math.sqrt(0.5)
             if skips is None:
-                skips = h
+                skips = skip
             else:
-                skips = skips + h
+                skips = skips + skip
                 if cfg.legacy:
                     skips = skips * math.sqrt(0.5)
+
         out = jax.nn.relu(skips)
         out = jax.nn.relu(out @ prep["w_last1"] + prep["b_last1"])
         # logits in f32 regardless of compute dtype (stable sampling)
@@ -214,8 +233,8 @@ def decode_chunk(prep, state, cfg: WaveNetConfig, K: int,
         if cfg.scalar_input:
             if sample:
                 nxt = jax.vmap(
-                    lambda k, o: sample_from_discretized_mix_logistic(
-                        k, o[None, None, :], log_scale_min)[0, 0]
+                    lambda kk, o: sample_from_discretized_mix_logistic(
+                        kk, o[None, None, :], log_scale_min)[0, 0]
                 )(k_sample, out)
             else:
                 nxt = out[:, 0]
@@ -229,11 +248,12 @@ def decode_chunk(prep, state, cfg: WaveNetConfig, K: int,
             next_in = jax.nn.one_hot(idx, cfg.out_channels,
                                      dtype=x_in.dtype)
             emitted = idx.astype(jnp.int32)
-        return (next_in, tuple(new_bufs), t + 1, keys_next), emitted
+        return (next_in, tuple(new_bufs), g + 1, keys_next), emitted
 
-    carry = (state["x"], state["bufs"], state["t"], state["keys"])
-    (x, bufs, t, keys), emitted = jax.lax.scan(step, carry, None, length=K)
-    new_state = {"x": x, "bufs": bufs, "t": t, "keys": keys}
+    carry = (state["x"], state["bufs"], state["g"], state["keys"])
+    (x, bufs, g, keys), emitted = jax.lax.scan(step, carry, None, length=K)
+    new_state = {"x": x, "bufs": bufs, "g": g, "start": start,
+                 "keys": keys}
     if "cond" in state:
         new_state["cond"] = state["cond"]
     return new_state, jnp.swapaxes(emitted, 0, 1)

@@ -28,6 +28,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from vqvae_speech_tpu.models import conv_vqvae_apply
+from vqvae_speech_tpu.ops.vq import reference_flatten
 from vqvae_speech_tpu.train.checkpoint import save_checkpoint
 from vqvae_speech_tpu.utils.logger import ConsoleLogger
 
@@ -77,6 +78,21 @@ def make_train_step(config: dict, optimizer: optax.GradientTransformation,
     if compute_dtype is not None:
         compute_dtype = jnp.dtype(compute_dtype)
 
+    # Codebook-revival extension (default OFF — reference semantics): track
+    # a usage EMA of per-code assignment fractions and re-seed codes whose
+    # usage falls below the threshold from random pre-VQ latent rows of the
+    # current batch (the reference explored exactly this in its standalone
+    # demos, old/vqvae_2d_improved.py:153-169 — reproduced as
+    # models/vq_repulsion.py:reset_dead_codes; here it is lifted into the
+    # production trainer for both VQ variants).  Adam moments of re-seeded
+    # rows are left untouched (gradient variant), matching the demo.
+    revival = bool(config.get("codebook_revival", False))
+    rev_decay = float(config.get("revival_usage_decay", 0.99))
+    rev_threshold = config.get("revival_threshold")
+    if revival and rev_threshold is None:
+        # usage is a fraction (uniform = 1/K): default to 10% of uniform
+        rev_threshold = 0.1 / config["num_embeddings"]
+
     def _cast(tree):
         return jax.tree_util.tree_map(
             lambda v: v.astype(compute_dtype)
@@ -104,14 +120,57 @@ def make_train_step(config: dict, optimizer: optax.GradientTransformation,
             lambda v: v.astype(jnp.float32)
             if jnp.issubdtype(v.dtype, jnp.floating) else v,
             out.new_state) if compute_dtype is not None else out.new_state)
-        return loss, (new_state, metrics)
+        rev_aux = None
+        if revival:
+            counts = jax.lax.stop_gradient(
+                jnp.sum(out.encodings, axis=(0, 1)))         # (K,)
+            flat = reference_flatten(
+                out.pre_vq_latents.astype(jnp.float32),
+                config["embedding_dim"])
+            rev_aux = {"counts": counts.astype(jnp.float32), "flat": flat}
+        return loss, (new_state, metrics, rev_aux)
+
+    def _apply_revival(key, params, model_state, rev_aux, metrics):
+        from vqvae_speech_tpu.models.vq_repulsion import reset_dead_codes
+        K = config["num_embeddings"]
+        frac = rev_aux["counts"] / jnp.maximum(
+            jnp.sum(rev_aux["counts"]), 1.0)
+        usage = (model_state["revival"]["usage"] * rev_decay
+                 + (1.0 - rev_decay) * frac)
+        ema = config["decay"] > 0.0
+        if ema:
+            vqst = model_state["vq"]
+            rr = reset_dead_codes(
+                key, vqst["codebook"], vqst["ema_w"],
+                vqst["ema_cluster_size"], usage, rev_aux["flat"],
+                threshold=rev_threshold, usage_init=1.0 / K)
+            model_state = dict(model_state, vq=dict(
+                vqst, codebook=rr.codebook, ema_w=rr.ema_w,
+                ema_cluster_size=rr.cluster_size))
+        else:
+            cb = params["vq"]["codebook"]
+            rr = reset_dead_codes(
+                key, cb, cb, jnp.zeros((K,), cb.dtype), usage,
+                rev_aux["flat"].astype(cb.dtype),
+                threshold=rev_threshold, usage_init=1.0 / K)
+            params = dict(params, vq=dict(
+                params["vq"], codebook=rr.codebook))
+        model_state = dict(model_state,
+                           revival={"usage": rr.usage})
+        metrics = dict(metrics,
+                       revived_codes=rr.num_reset.astype(jnp.float32))
+        return params, model_state, metrics
 
     def step(state: TrainState, batch):
         rng, sub = jax.random.split(state.rng)
-        grads, (new_model_state, metrics) = jax.grad(
+        grads, (new_model_state, metrics, rev_aux) = jax.grad(
             loss_fn, has_aux=True)(state.params, state.model_state, batch, sub)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        if revival:
+            rng, rev_key = jax.random.split(rng)
+            new_params, new_model_state, metrics = _apply_revival(
+                rev_key, new_params, new_model_state, rev_aux, metrics)
         return TrainState(new_params, new_model_state, new_opt, rng), metrics
 
     if mesh is None:
