@@ -116,3 +116,29 @@ def test_rejects_oversized_conditioning(vocoder):
                                        max_frames=4)
     with pytest.raises(ValueError):
         server.run(_conds([5]))
+
+
+def test_online_submit_step_collect(vocoder):
+    """Online API: requests submitted WHILE others are mid-flight complete
+    with streams identical to standalone decode; the pool drains fully and
+    a later drain (after the clock reset) still matches."""
+    params, cfg = vocoder
+    server = ContinuousSynthesisServer(params, cfg, slots=2, chunk_size=5,
+                                       max_frames=12, sample=False)
+    c0, c1, c2 = _conds([12, 6, 9], seed=21)
+    r0 = server.submit(c0)
+    done = server.step()                 # c0 in flight (48 samples > 5)
+    assert done == [] and server.collect(r0) is None
+    r1 = server.submit(c1)               # joins mid-flight
+    r2 = server.submit(c2)               # queues behind it (2 slots)
+    while server.pending:
+        server.step()
+    for rid, c in ((r0, c0), (r1, c1), (r2, c2)):
+        res = server.collect(rid)
+        np.testing.assert_array_equal(res.wave, _standalone_greedy(
+            params, cfg, c))
+        assert server.collect(rid) is None          # collect is take-once
+    assert server.stats["mean_latency_chunks"] > 0
+    # second drain after the pool emptied (shared clock rewound): identical
+    again = server.run([c0])[0].wave
+    np.testing.assert_array_equal(again, _standalone_greedy(params, cfg, c0))

@@ -479,6 +479,11 @@ class ContinuousSynthesisServer:
     * ONE compiled chunk program serves the whole lifetime (static
       (slots, chunk_size)); admission is a donated .at[slot] update.
 
+    Online API: ``submit()`` enqueues a request and returns its id,
+    ``step()`` advances the pool one chunk and returns the requests that
+    completed in it, ``collect()`` fetches a finished result.  ``run()``
+    is the offline drain built on them.
+
     max_frames : longest admissible conditioning length (latent frames);
         fixes the device-resident conditioning buffer's static shape.
     """
@@ -490,6 +495,7 @@ class ContinuousSynthesisServer:
                  sample: bool = False,
                  compute_dtype=None,
                  weight_quant: Optional[str] = None):
+        from collections import deque
         from vqvae_speech_tpu.models.wavenet.chunked import init_decode_slots
 
         self._params = params
@@ -508,79 +514,130 @@ class ContinuousSynthesisServer:
         self._prep, self._state = init_decode_slots(
             params, cfg, self._slots, self._max_t,
             compute_dtype=compute_dtype, weight_quant=weight_quant)
+        self._queue = deque()          # request ids awaiting a slot
+        self._requests: Dict[int, dict] = {}
+        self._results: Dict[int, SynthesisResult] = {}
+        self._active: Dict[int, list] = {}   # slot -> [req id, remaining,
+        self._next_id = 0                    #          parts]
         self._launches = 0
         self._busy_steps = 0
         self._slot_steps = 0
+        self._wait_chunks: List[int] = []    # submit -> completion, chunks
+
+    @property
+    def pending(self) -> int:
+        """Requests submitted but not yet completed."""
+        return len(self._queue) + len(self._active)
+
+    def submit(self, cond: np.ndarray, speaker_id: Optional[int] = None,
+               seed: int = 0) -> int:
+        """Enqueue one request; returns its id.  The stream depends only on
+        (params, cond, speaker_id, seed, id) — never on what shares the
+        pool or when the request is admitted."""
+        if cond.shape[0] * self._upsample_factor > self._max_t:
+            raise ValueError(
+                f"conditioning of {cond.shape[0]} frames exceeds "
+                f"max_frames {self._max_t // self._upsample_factor}")
+        rid = self._next_id
+        self._next_id += 1
+        self._requests[rid] = dict(cond=cond, speaker_id=speaker_id,
+                                   seed=seed, submitted=self._launches)
+        self._queue.append(rid)
+        return rid
+
+    def step(self) -> List[int]:
+        """Admit queued requests into free slots, advance every slot one
+        chunk, and return the ids of requests that completed in it."""
+        import jax
+        import jax.numpy as jnp
+        from vqvae_speech_tpu.models.wavenet.chunked import (
+            admit_slot, decode_chunk, slot_conditioning)
+
+        if not self._queue and not self._active:
+            return []
+        if not self._active:
+            # pool fully drained: rewind the shared clock so it cannot
+            # creep toward int32 overflow across server lifetime (a busy
+            # pool only advances it while streams are in flight)
+            self._state = dict(
+                self._state,
+                g=jnp.zeros((), jnp.int32),
+                start=jnp.zeros((self._slots,), jnp.int32))
+        for s in range(self._slots):
+            if s in self._active or not self._queue:
+                continue
+            rid = self._queue.popleft()
+            req = self._requests[rid]
+            # zero-pad to the slot capacity: slot_conditioning is ONE
+            # compiled program over the static (max_frames, cin) shape
+            max_frames = self._max_t // self._upsample_factor
+            c = np.zeros((max_frames, req["cond"].shape[-1]), np.float32)
+            c[:req["cond"].shape[0]] = req["cond"]
+            rows = slot_conditioning(
+                self._params, self._cfg, c, req["speaker_id"], self._max_t,
+                compute_dtype=self._compute_dtype)
+            key = jax.random.fold_in(jax.random.PRNGKey(req["seed"]), rid)
+            self._state = admit_slot(self._state, s, rows, key)
+            self._active[s] = [
+                rid, req["cond"].shape[0] * self._upsample_factor, []]
+        self._state, emitted = decode_chunk(
+            self._prep, self._state, self._cfg, self._chunk,
+            sample=self._sample)
+        emitted = np.asarray(emitted)
+        self._launches += 1
+        self._slot_steps += self._slots * self._chunk
+        done = []
+        for s in list(self._active):
+            rid, remaining, parts = self._active[s]
+            take = min(remaining, self._chunk)
+            parts.append(emitted[s, :take])
+            self._busy_steps += take
+            if remaining <= self._chunk:
+                self._results[rid] = SynthesisResult(
+                    wave=np.concatenate(parts),
+                    bucket=self._max_t // self._upsample_factor)
+                self._wait_chunks.append(
+                    self._launches - self._requests[rid]["submitted"])
+                del self._active[s]
+                del self._requests[rid]
+                done.append(rid)
+            else:
+                self._active[s][1] = remaining - take
+        return done
+
+    def collect(self, request_id: int) -> Optional[SynthesisResult]:
+        """Fetch (and forget) a completed request's result, or None if it
+        is still in flight."""
+        return self._results.pop(request_id, None)
 
     def run(self, conds: Sequence[np.ndarray],
             speaker_ids: Optional[Sequence[int]] = None,
             seed: int = 0) -> List[SynthesisResult]:
-        """Drain a queue of requests through the slot pool.
+        """Offline drain: submit everything, step until empty.
 
         conds: per-request (Tc, cin) local-conditioning arrays.  Returns
-        trimmed waves in request order.  Each request's wave depends only
-        on (params, its conditioning, its speaker, seed, its index)."""
-        import jax
-        from collections import deque
-        from vqvae_speech_tpu.models.wavenet.chunked import (
-            admit_slot, decode_chunk, slot_conditioning)
-
-        for c in conds:
+        trimmed waves in request order."""
+        for c in conds:                 # validate before enqueuing any
             if c.shape[0] * self._upsample_factor > self._max_t:
                 raise ValueError(
                     f"conditioning of {c.shape[0]} frames exceeds "
                     f"max_frames {self._max_t // self._upsample_factor}")
-        base_key = jax.random.PRNGKey(seed)
-        queue = deque(range(len(conds)))
-        # slot -> [request index, samples remaining, collected chunks]
-        active: Dict[int, list] = {}
-        results: List[Optional[SynthesisResult]] = [None] * len(conds)
-        state = self._state
-
-        while queue or active:
-            for s in range(self._slots):
-                if s in active or not queue:
-                    continue
-                i = queue.popleft()
-                g = None if speaker_ids is None else speaker_ids[i]
-                # zero-pad to the slot capacity: slot_conditioning is ONE
-                # compiled program over the static (max_frames, cin) shape
-                max_frames = self._max_t // self._upsample_factor
-                c = np.zeros((max_frames, conds[i].shape[-1]), np.float32)
-                c[:conds[i].shape[0]] = conds[i]
-                rows = slot_conditioning(
-                    self._params, self._cfg, c, g, self._max_t,
-                    compute_dtype=self._compute_dtype)
-                key = jax.random.fold_in(base_key, i)
-                state = admit_slot(state, s, rows, key)
-                active[s] = [i, conds[i].shape[0] * self._upsample_factor,
-                             []]
-            state, emitted = decode_chunk(
-                self._prep, state, self._cfg, self._chunk,
-                sample=self._sample)
-            emitted = np.asarray(emitted)
-            self._launches += 1
-            self._slot_steps += self._slots * self._chunk
-            for s in list(active):
-                i, remaining, parts = active[s]
-                take = min(remaining, self._chunk)
-                parts.append(emitted[s, :take])
-                self._busy_steps += take
-                if remaining <= self._chunk:
-                    results[i] = SynthesisResult(
-                        wave=np.concatenate(parts),
-                        bucket=self._max_t // self._upsample_factor)
-                    del active[s]
-                else:
-                    active[s][1] = remaining - take
-        self._state = state
-        return results  # type: ignore[return-value]
+        ids = [self.submit(c,
+                           None if speaker_ids is None else speaker_ids[i],
+                           seed)
+               for i, c in enumerate(conds)]
+        while self.pending:
+            self.step()
+        return [self.collect(rid) for rid in ids]  # type: ignore
 
     @property
     def stats(self) -> dict:
         util = (self._busy_steps / self._slot_steps
                 if self._slot_steps else 0.0)
+        waits = self._wait_chunks
         return {"launches": self._launches, "slots": self._slots,
                 "chunk_size": self._chunk,
                 "slot_utilization": round(util, 4),
+                "mean_latency_chunks": (round(sum(waits) / len(waits), 2)
+                                        if waits else 0.0),
                 "upsample_factor": self._upsample_factor}
