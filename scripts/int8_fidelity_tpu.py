@@ -186,7 +186,7 @@ def main():
 
     streams = {}
     for mode, sample in (("greedy", False), ("sampled", True)):
-        for quant in (None, "int8"):
+        for quant in (None, "int8", "int8_block"):
             outs, em = wavenet_incremental_generate(
                 params, cfg, jax.random.PRNGKey(42), T, c=gen_c,
                 sample=sample, weight_quant=quant)
@@ -196,24 +196,26 @@ def main():
 
     for mode in ("greedy", "sampled"):
         a_out, a_em = streams[f"{mode}_f32"]
-        b_out, b_em = streams[f"{mode}_int8"]
-        av, bv = a_out.ravel(), b_out.ravel()
-        cos = float(av @ bv / (np.linalg.norm(av) * np.linalg.norm(bv)
-                               + 1e-12))
-        agree = float(np.mean(a_em == b_em))
         nll_f32 = teacher_forced_nll(params, cfg, a_em, c=gen_c)
-        nll_int8 = teacher_forced_nll(params, cfg, b_em, c=gen_c)
         wave_a = np.asarray(mu_law_decode(jnp.asarray(a_em)))[0]
-        wave_b = np.asarray(mu_law_decode(jnp.asarray(b_em)))[0]
-        summary["streams"][mode] = {
-            "logits_cosine": round(cos, 6),
-            "stream_agreement": round(agree, 4),
-            "nll_of_f32_stream_under_f32_model": round(nll_f32, 4),
-            "nll_of_int8_stream_under_f32_model": round(nll_int8, 4),
-            "nll_gap": round(nll_int8 - nll_f32, 4),
-            "mcd_db_f32_vs_int8": round(mcd_db(wave_a, wave_b), 3),
-        }
-        print(json.dumps({mode: summary["streams"][mode]}), flush=True)
+        for quant in ("int8", "int8_block"):
+            b_out, b_em = streams[f"{mode}_{quant}"]
+            av, bv = a_out.ravel(), b_out.ravel()
+            cos = float(av @ bv / (np.linalg.norm(av) * np.linalg.norm(bv)
+                                   + 1e-12))
+            agree = float(np.mean(a_em == b_em))
+            nll_q = teacher_forced_nll(params, cfg, b_em, c=gen_c)
+            wave_b = np.asarray(mu_law_decode(jnp.asarray(b_em)))[0]
+            key = mode if quant == "int8" else f"{mode}_{quant}"
+            summary["streams"][key] = {
+                "logits_cosine": round(cos, 6),
+                "stream_agreement": round(agree, 4),
+                "nll_of_f32_stream_under_f32_model": round(nll_f32, 4),
+                "nll_of_int8_stream_under_f32_model": round(nll_q, 4),
+                "nll_gap": round(nll_q - nll_f32, 4),
+                "mcd_db_f32_vs_int8": round(mcd_db(wave_a, wave_b), 3),
+            }
+            print(json.dumps({key: summary["streams"][key]}), flush=True)
 
     # reference scale, random init: the conservative (near-uniform logits)
     # bound for the serving configuration

@@ -142,3 +142,18 @@ def test_online_submit_step_collect(vocoder):
     # second drain after the pool emptied (shared clock rewound): identical
     again = server.run([c0])[0].wave
     np.testing.assert_array_equal(again, _standalone_greedy(params, cfg, c0))
+
+
+def test_int8_block_composition(vocoder):
+    params, cfg = vocoder
+    server = ContinuousSynthesisServer(params, cfg, slots=2, chunk_size=8,
+                                       max_frames=6, sample=False,
+                                       weight_quant="int8_block")
+    c = _conds([6], seed=5)[0]
+    from vqvae_speech_tpu.models.wavenet.incremental import (
+        wavenet_incremental_generate)
+    _, want = wavenet_incremental_generate(
+        params, cfg, jax.random.PRNGKey(0), 24, c=c[None], sample=False,
+        weight_quant="int8_block")
+    np.testing.assert_array_equal(server.run([c])[0].wave,
+                                  np.asarray(want)[0])

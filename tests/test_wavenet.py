@@ -269,3 +269,66 @@ def test_fused_stack_rejects_int8():
         wavenet_incremental_generate(
             params, cfg, jax.random.PRNGKey(2), 4, sample=False,
             weight_quant="int8", use_fused_stack=True)
+
+
+def test_int8_block_quantization_error_below_per_channel():
+    """Blockwise scales (per tap x 128-input-block x output) must strictly
+    reduce weight reconstruction error vs the round-2 per-output scales on
+    a multi-block contraction (C=256 -> 2 blocks)."""
+    from vqvae_speech_tpu.models.wavenet.incremental import (
+        _quantize_int8, _quantize_int8_block, _block_matmul)
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (3, 256, 32)) * 0.05
+    # heavy-tailed outliers (trained-net shape): what coarse scales choke on
+    mask = jax.random.uniform(jax.random.PRNGKey(1), w.shape) < 0.01
+    w = jnp.where(mask, w * 5.0, w)
+
+    wq, s = _quantize_int8(w, axes=(0, 1))
+    dense = wq.astype(jnp.float32) * s.reshape(1, 1, -1)
+    err_pc = float(jnp.sqrt(jnp.mean((dense - w) ** 2)))
+
+    wb, bs = _quantize_int8_block(w)
+    assert bs.shape == (3, 2, 32)
+    rec = jnp.stack([
+        wb[j].reshape(2, 128, 32).astype(jnp.float32) * bs[j][:, None, :]
+        for j in range(3)]).reshape(3, 256, 32)
+    err_blk = float(jnp.sqrt(jnp.mean((rec - w) ** 2)))
+    assert err_blk < 0.75 * err_pc, (err_blk, err_pc)
+
+    # _block_matmul computes exactly x @ dequantized(w)
+    x = jax.random.normal(jax.random.PRNGKey(2), (5, 256))
+    got = _block_matmul(x, wb[0], bs[0], jnp.float32)
+    want = x @ rec[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_int8_block_decode_closer_to_f32_than_int8():
+    """The int8_block decode path runs end-to-end and its logits track f32
+    at least as closely as per-channel int8 on the same model."""
+    cfg = WaveNetConfig(out_channels=24, layers=6, stacks=2,
+                        residual_channels=16, gate_channels=16,
+                        skip_out_channels=16, kernel_size=3, dropout=0.0,
+                        cin_channels=4, upsample_conditional_features=True,
+                        upsample_scales=(4,))
+    params = wavenet_init(jax.random.PRNGKey(0), cfg)
+    B, T = 1, 48
+    c = jax.random.normal(jax.random.PRNGKey(1), (B, T // 4, 4))
+    outs_f32, _ = wavenet_incremental_generate(
+        params, cfg, jax.random.PRNGKey(2), T, c=c, sample=False)
+
+    def cos(outs):
+        a = np.asarray(outs_f32).ravel()
+        b = np.asarray(outs).ravel()
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+    outs_i8, _ = wavenet_incremental_generate(
+        params, cfg, jax.random.PRNGKey(2), T, c=c, sample=False,
+        weight_quant="int8")
+    outs_blk, _ = wavenet_incremental_generate(
+        params, cfg, jax.random.PRNGKey(2), T, c=c, sample=False,
+        weight_quant="int8_block")
+    # at C=16 the block degenerates to per-(tap, out) scales — still finer
+    # than per-out-over-all-taps, so tracking must not regress
+    assert cos(outs_blk) >= cos(outs_i8) - 1e-6, (cos(outs_blk), cos(outs_i8))
+    assert cos(outs_blk) > 0.99

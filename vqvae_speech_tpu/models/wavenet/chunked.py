@@ -45,7 +45,8 @@ import jax.numpy as jnp
 from vqvae_speech_tpu.models.wavenet.model import (
     WaveNetConfig, _upsample_lc)
 from vqvae_speech_tpu.models.wavenet.incremental import (
-    cast_floating, hoist_conditioning, prepare_decode_weights)
+    _block_matmul, cast_floating, hoist_conditioning,
+    prepare_decode_weights)
 from vqvae_speech_tpu.models.wavenet.mixture import (
     sample_from_discretized_mix_logistic)
 
@@ -183,8 +184,16 @@ def decode_chunk(prep, state, cfg: WaveNetConfig, K: int,
             buf = bufs[layer]
             L = buf.shape[1]
             w = lw["conv_w"]
-            quant = w.dtype == jnp.int8
-            acc = x @ (w[k - 1].astype(x.dtype) if quant else w[k - 1])
+            blockq = "conv_w_bscale" in lw
+            quant = w.dtype == jnp.int8 and not blockq
+
+            def tap_mm(v, j, w=w, lw=lw, blockq=blockq, quant=quant):
+                if blockq:
+                    return _block_matmul(v, w[j], lw["conv_w_bscale"][j],
+                                         v.dtype)
+                return v @ (w[j].astype(v.dtype) if quant else w[j])
+
+            acc = tap_mm(x, k - 1)
             for j in range(k - 1):
                 lag = (k - 1 - j) * d
                 # SHARED ring position: a plain dynamic slice, like the
@@ -195,8 +204,7 @@ def decode_chunk(prep, state, cfg: WaveNetConfig, K: int,
                 # admission (or before generation started) read as zero
                 alive = (g - lag >= start)[:, None]
                 tap = jnp.where(alive, tap, jnp.zeros_like(tap))
-                acc = acc + tap @ (w[j].astype(tap.dtype) if quant
-                                   else w[j])
+                acc = acc + tap_mm(tap, j)
             if quant:
                 acc = (acc * lw["conv_w_scale"]).astype(x.dtype)
             acc = acc + lw["conv_b"]
@@ -205,8 +213,11 @@ def decode_chunk(prep, state, cfg: WaveNetConfig, K: int,
             a, b = jnp.split(acc, 2, axis=-1)
             h = jnp.tanh(a) * jax.nn.sigmoid(b)
 
-            def mm(v, key_):
+            def mm(v, key_, lw=lw):
                 wk = lw[key_]
+                if key_ + "_bscale" in lw:
+                    return _block_matmul(v, wk, lw[key_ + "_bscale"],
+                                         v.dtype)
                 if wk.dtype == jnp.int8:
                     y = jnp.dot(v, wk.astype(v.dtype),
                                 preferred_element_type=jnp.float32)
