@@ -34,6 +34,7 @@ CONFIGS = {
     "fused": dict(use_fused_stack=True),
     "bf16": dict(compute_dtype=jnp.bfloat16),
     "int8": dict(weight_quant="int8"),
+    "int8_block": dict(weight_quant="int8_block"),
     "int8_fused": dict(weight_quant="int8", use_fused_stack=True),
 }
 

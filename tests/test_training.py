@@ -371,3 +371,49 @@ def test_codebook_revival_off_is_reference_exact():
     }
     state, metrics = step(state, batch)
     assert "revived_codes" not in metrics
+
+
+def test_codebook_revival_matches_between_mesh_and_single_device():
+    """The revival step must compute identically under the 8-device DP mesh
+    (counts psum + cross-shard reseed gather are GSPMD-inserted) and on a
+    single device — same PRNG, same batch, same resulting codebook."""
+    import jax
+    from vqvae_speech_tpu.models import conv_vqvae_init
+    from vqvae_speech_tpu.parallel.mesh import make_mesh
+    from vqvae_speech_tpu.train.trainer import (
+        make_train_step, make_optimizer, create_train_state)
+
+    cfg = dict(TINY_CFG, decay=0.0, codebook_revival=True,
+               revival_usage_decay=0.5, batch_size=8)
+    params, mstate = conv_vqvae_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_features": rng.standard_normal((8, 32, 39)).astype(np.float32),
+        "output_features": rng.standard_normal((8, 32, 39)).astype(np.float32),
+    }
+
+    def run(mesh):
+        import jax.numpy as jnp
+        # fresh copies per run: the step donates its state, which would
+        # otherwise invalidate the shared init arrays for the second run
+        p_run = jax.tree_util.tree_map(jnp.array, params)
+        m_run = jax.tree_util.tree_map(jnp.array, mstate)
+        state = create_train_state(jax.random.PRNGKey(1), p_run, m_run,
+                                   make_optimizer(cfg["learning_rate"]))
+        step = make_train_step(cfg, make_optimizer(cfg["learning_rate"]),
+                               mesh=mesh)
+        # shift the codebook so some codes start dead and the reseed fires
+        state = state._replace(params=dict(
+            state.params, vq=dict(state.params["vq"],
+                                  codebook=state.params["vq"]["codebook"]
+                                  + 10.0)))
+        for _ in range(4):
+            state, metrics = step(state, batch)
+        return (np.asarray(state.params["vq"]["codebook"]),
+                float(metrics["revived_codes"]))
+
+    cb_single, rev_single = run(None)
+    cb_mesh, rev_mesh = run(make_mesh(num_data=8))
+    assert rev_single > 0 or rev_mesh > 0  # the path actually fired
+    assert rev_single == rev_mesh
+    np.testing.assert_allclose(cb_mesh, cb_single, rtol=2e-5, atol=2e-5)
