@@ -1,8 +1,8 @@
 """Single-stream autoregressive WaveNet decode benchmark on hardware.
 
 Measures samples/s at vctk_wavenet.yaml scale for each decode configuration
-(f32, fused Pallas stack, bf16, int8 weight-only, int8+fused int8-native
-MXU dots).  All timings are bounded by a host fetch (block_until_ready does
+(f32, fused Pallas stack, bf16, int8 weight-only per-channel and blockwise).
+All timings are bounded by a host fetch (block_until_ready does
 not bound execution under this image's remote-TPU tunnel — RESULTS.md).
 
 Usage: python scripts/bench_decode_tpu.py [T] [configs...]
@@ -35,7 +35,10 @@ CONFIGS = {
     "bf16": dict(compute_dtype=jnp.bfloat16),
     "int8": dict(weight_quant="int8"),
     "int8_block": dict(weight_quant="int8_block"),
-    "int8_fused": dict(weight_quant="int8", use_fused_stack=True),
+    # NOTE: an "int8_fused" row (int8 + use_fused_stack) existed in rounds
+    # 1-2 and was REMOVED with the kernel: the plain int8 scan runs at ~95%
+    # of the HBM streaming floor (RESULTS.md roofline) and the generate path
+    # now asserts the composition away.
 }
 
 
