@@ -45,6 +45,17 @@ CONFIGS = {
 def main():
     T = int(sys.argv[1]) if len(sys.argv) > 1 else 3840
     names = sys.argv[2:] or list(CONFIGS)
+    unknown = [n for n in names if n not in CONFIGS]
+    if unknown:
+        valid = ", ".join(CONFIGS)
+        for n in unknown:
+            note = (" ('int8_fused' was removed with the dead int8 fused "
+                    "kernel — the plain int8 scan runs at ~95% of the HBM "
+                    "streaming floor, see RESULTS.md)"
+                    if n == "int8_fused" else "")
+            print(f"unknown config {n!r}{note}; valid: {valid}",
+                  file=sys.stderr)
+        raise SystemExit(2)
     params = wavenet_init(jax.random.PRNGKey(0), CFG)
     up = int(np.prod(CFG.upsample_scales))
     c = jax.random.normal(jax.random.PRNGKey(1), (1, T // up, CFG.cin_channels))

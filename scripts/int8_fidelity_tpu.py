@@ -172,7 +172,8 @@ def main():
                                             conditioned=conditioned)
 
     T = args.gen_t
-    summary = {"train_final_nll": round(final_nll, 4),
+    summary = {"platform": jax.default_backend(),
+               "train_final_nll": round(final_nll, 4),
                "uniform_nll": round(float(np.log(256)), 4),
                "gen_samples": T, "config": label,
                "streams": {}}
@@ -244,6 +245,7 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
+        f.write("\n")
     print(json.dumps(summary))
 
 

@@ -2,9 +2,19 @@
 real optimization steps at reference scale), on a synthetic sine+noise
 corpus with consistent mel conditioning (data/ljspeech.py mel pipeline).
 
-Writes smoke_vocoder/summary.json: first/last mean losses per trainer.
+Three stages: Gaussian teacher (reference src/clarinet/train.py), FloWaveNet
+MLE (src/flow_wavenet/train.py), and — distilled FROM the trained teacher —
+the IAF student (src/clarinet/train_student.py:42-403: z ~ N(0,1) through
+the flows, frozen teacher scores the student's samples, qp-KL + 4*reg +
+STFT frame loss).  The student stage also scores one-pass synthesis under
+the teacher (per-sample Gaussian NLL of x_student, the distillation target
+distribution) before vs after training — the "does the distilled student
+actually synthesize teacher-plausible audio" gate.
 
-Usage: python scripts/smoke_vocoder_tpu.py [steps]
+Writes smoke_vocoder/summary.json: first/last mean losses per trainer,
+plus kl/reg/frame trajectories and the sample-score delta for the student.
+
+Usage: python scripts/smoke_vocoder_tpu.py [steps] [student_steps]
 """
 import json
 import os
@@ -58,7 +68,56 @@ def run_teacher(steps, rng):
         state, loss = step(state, batch)
         if i % max(1, steps // 20) == 0 or i == steps - 1:
             losses.append(float(loss))
-    return losses
+    return losses, (cfg, state.ema_params, batch)
+
+
+def run_student(steps, rng, teacher_cfg, teacher_params):
+    """Distill an IAF student from the smoke-trained teacher (reference
+    src/clarinet/train_student.py:97-115) and gate on (a) descending
+    distillation losses and (b) the teacher-NLL of the student's one-pass
+    samples improving over the untrained student."""
+    from vqvae_speech_tpu.models.clarinet import (
+        StudentConfig, wavenet_student_init, wavenet_student_generate,
+        gaussian_wavenet_core, gaussian_wavenet_upsample)
+    from vqvae_speech_tpu.models.clarinet.loss import gaussian_loss
+    from vqvae_speech_tpu.train.vocoder import (
+        make_student_train_step, make_vocoder_optimizer,
+        create_vocoder_state)
+
+    cfg = StudentConfig()  # reference scale: flows [1, 1, 1, 4] blocks
+    B, T = 8, 6400
+    x, mel = synth_batch(rng, B, T)
+    Tc = T // 256
+    batch = {"x": jnp.asarray(x)[..., None], "c": jnp.asarray(mel[:, :Tc])}
+    opt = make_vocoder_optimizer(5e-4, 10.0)
+    state = create_vocoder_state(
+        jax.random.PRNGKey(3),
+        wavenet_student_init(jax.random.PRNGKey(2), cfg), opt)
+    step = make_student_train_step(teacher_cfg, cfg, teacher_params, opt,
+                                   compute_dtype=jnp.bfloat16)
+
+    t_params = jax.tree_util.tree_map(jnp.asarray, teacher_params)
+
+    @jax.jit
+    def teacher_score(params):
+        # fixed z so before/after compare the same draw; the teacher scores
+        # the student's one-pass synthesis (train_student.py:104 semantics)
+        z = jax.random.normal(jax.random.PRNGKey(7), batch["x"].shape)
+        c_up = gaussian_wavenet_upsample(t_params, batch["c"], teacher_cfg)
+        x_s = wavenet_student_generate(params, cfg, z, c_up)
+        mu_logs_t = gaussian_wavenet_core(t_params, teacher_cfg, x_s, c_up)
+        return jnp.mean(gaussian_loss(mu_logs_t[:, :-1], x_s[:, 1:]))
+
+    score_before = float(teacher_score(state.params))
+    traces = {"total": [], "kl": [], "reg": [], "frame": []}
+    for i in range(steps):
+        state, (loss, aux) = step(state, batch)
+        if i % max(1, steps // 20) == 0 or i == steps - 1:
+            traces["total"].append(float(loss))
+            for k in ("kl", "reg", "frame"):
+                traces[k].append(float(aux[k]))
+    score_after = float(teacher_score(state.params))
+    return traces, score_before, score_after
 
 
 def run_flow(steps, rng):
@@ -86,21 +145,53 @@ def run_flow(steps, rng):
     return losses
 
 
-def main(steps=200):
+def main(steps=200, student_steps=400):
     rng = np.random.default_rng(0)
-    out = {}
-    for name, fn in [("teacher_bf16", run_teacher), ("flow", run_flow)]:
-        losses = fn(steps, rng)
-        out[name] = {"first": round(losses[0], 4),
-                     "last": round(losses[-1], 4),
-                     "trace": [round(v, 4) for v in losses],
-                     "steps": steps}
-        print(json.dumps({name: {k: out[name][k]
-                                 for k in ("first", "last")}}), flush=True)
+    out = {"platform": jax.default_backend()}
+
+    teacher_losses, (t_cfg, t_params, _) = run_teacher(steps, rng)
+    out["teacher_bf16"] = {
+        "first": round(teacher_losses[0], 4),
+        "last": round(teacher_losses[-1], 4),
+        "trace": [round(v, 4) for v in teacher_losses], "steps": steps}
+    print(json.dumps({"teacher_bf16": {k: out["teacher_bf16"][k]
+                                       for k in ("first", "last")}}),
+          flush=True)
+
+    flow_losses = run_flow(steps, rng)
+    out["flow"] = {
+        "first": round(flow_losses[0], 4), "last": round(flow_losses[-1], 4),
+        "trace": [round(v, 4) for v in flow_losses], "steps": steps}
+    print(json.dumps({"flow": {k: out["flow"][k]
+                               for k in ("first", "last")}}), flush=True)
+
+    # student distilled from the EMA teacher just trained above
+    traces, before, after = run_student(student_steps, rng, t_cfg, t_params)
+    out["student"] = {
+        "steps": student_steps,
+        "first": round(traces["total"][0], 4),
+        "last": round(traces["total"][-1], 4),
+        "traces": {k: [round(v, 4) for v in vs] for k, vs in traces.items()},
+        "sample_teacher_nll_before": round(before, 4),
+        "sample_teacher_nll_after": round(after, 4),
+    }
+    print(json.dumps({"student": {k: out["student"][k] for k in (
+        "first", "last", "sample_teacher_nll_before",
+        "sample_teacher_nll_after")}}), flush=True)
+
     os.makedirs(os.path.join(REPO_ROOT, "smoke_vocoder"), exist_ok=True)
     with open(os.path.join(REPO_ROOT, "smoke_vocoder", "summary.json"),
               "w") as f:
         json.dump(out, f, indent=1)
+        f.write("\n")
+
+    # learning gates: every stage's loss must descend, and the distilled
+    # student's samples must score better under the teacher than the
+    # untrained student's
+    assert out["teacher_bf16"]["last"] < out["teacher_bf16"]["first"]
+    assert out["flow"]["last"] < out["flow"]["first"]
+    assert out["student"]["last"] < out["student"]["first"]
+    assert after < before, (before, after)
 
 
 if __name__ == "__main__":

@@ -52,6 +52,23 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--root", default="wavenet_vqvae_e2e")
     ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--resume", action="store_true",
+                    help="keep existing corpus/features/checkpoints and "
+                         "let the driver's auto-resume contract pick up "
+                         "from the latest epoch (corpus generation is "
+                         "seeded, so the existing export is exact)")
+    ap.add_argument("--revival", action="store_true",
+                    help="enable the codebook-revival knob "
+                         "(train/revival.py). At reference semantics "
+                         "(decay 0.0, gradient VQ) the powerful AR decoder "
+                         "collapses the codebook to ONE code within ~10 "
+                         "epochs (posterior collapse — observed live, "
+                         "perplexity 18.8 -> 1.0); revival re-seeds dead "
+                         "codes so the codes->audio pathway stays "
+                         "meaningful")
+    ap.add_argument("--bf16-decoder", action="store_true",
+                    help="run the WaveNet decoder in bf16 (MXU-native); "
+                         "encoder/VQ stay f32 for exact index semantics")
     ap.add_argument("--force-cpu", action="store_true")
     ap.add_argument("--smoke", action="store_true",
                     help="shrink the decoder (4 layers / 64 ch, length "
@@ -75,13 +92,9 @@ def main():
 
     root = args.root
     os.makedirs(root, exist_ok=True)
-    clean_room(root)
+    if not args.resume:
+        clean_room(root)
     t0 = time.time()
-
-    # corpus: 0.6 s utterances cover the reference crop length 7680 (+1)
-    build_rich_phoneme_corpus(root, num_speakers=4, utts_per_speaker=12,
-                              utt_seconds=0.6)
-    vctk = VCTK(root, ratio=0.8, shuffle_seed=0)
 
     with open(os.path.join(REPO_ROOT, "configurations",
                            "vctk_wavenet.yaml")) as f:
@@ -91,7 +104,13 @@ def main():
         num_workers=4, num_speakers=4, normalize=True,
         normalizer_path=os.path.join(root, "stats.pickle"),
         verbose=False,
+        # ~1 GB/epoch at reference decoder scale: keep first + last two
+        prune_checkpoints=True,
     )
+    if args.revival:
+        cfg.update(codebook_revival=True)
+    if args.bf16_decoder:
+        cfg.update(compute_dtype="bfloat16")
     if args.smoke:
         cfg.update(n_loop=2, n_layers=4, gate_channels=64,
                    skip_out_channels=64, residual_channels=64,
@@ -100,8 +119,14 @@ def main():
                    # frames at length 1920 (the full config pins 47 @ 7680)
                    input_features_dim=11)
     store_root = os.path.join(root, "features")
-    export_to_features(vctk, store_root, cfg, num_workers=4)
-    compute_dataset_stats(FeatureStore(store_root), cfg["normalizer_path"])
+    if not args.resume:
+        # corpus: 0.6 s utterances cover the reference crop length 7680 (+1)
+        build_rich_phoneme_corpus(root, num_speakers=4, utts_per_speaker=12,
+                                  utt_seconds=0.6)
+        vctk = VCTK(root, ratio=0.8, shuffle_seed=0)
+        export_to_features(vctk, store_root, cfg, num_workers=4)
+        compute_dataset_stats(FeatureStore(store_root),
+                              cfg["normalizer_path"])
 
     cfg_path = os.path.join(root, "base.yaml")
     with open(cfg_path, "w") as f:
@@ -238,21 +263,34 @@ def main():
         }
         print(json.dumps({label: gen_rows[label]}), flush=True)
 
+    hist_path = os.path.join(root, "experiments",
+                             "wavenet-e2e_history.json")
+    epoch_history = []
+    if os.path.isfile(hist_path):
+        with open(hist_path) as f:
+            epoch_history = json.load(f)
+
     summary = {
         "config": "vctk_wavenet.yaml scale (20L/768ch decoder, mu-law 256)",
         "platform": jax.default_backend(),
         "epochs": args.epochs, "batch": args.batch, "seed": args.seed,
+        "knobs": {"codebook_revival": bool(args.revival),
+                  "bf16_decoder": bool(args.bf16_decoder)},
         "train_ce_first_step": round(train_ce_first, 4),
         "train_ce_final": round(train_ce_final, 4),
         "val_teacher_forced_nll": round(val_nll_mean, 4),
         "uniform_nll": round(UNIFORM_NLL, 4),
         "num_val_utterances": len(val_nlls),
         "codes_used": int(np.unique(np.asarray(codes)).size),
+        "final_perplexity": (epoch_history[-1]["perplexity"]
+                             if epoch_history else None),
+        "epoch_history": epoch_history,
         "generation": gen_rows,
         "wall_s": round(time.time() - t0, 1),
     }
     with open(os.path.join(root, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
+        f.write("\n")
     print(json.dumps(summary))
 
     # the learning gates: training must beat uniform by a wide margin and

@@ -3,6 +3,7 @@ from vqvae_speech_tpu.models.clarinet.wavenet import (
     gaussian_wavenet_init,
     gaussian_wavenet_apply,
     gaussian_wavenet_upsample,
+    gaussian_wavenet_core,
     gaussian_wavenet_generate,
     gaussian_wavenet_core_fused,
 )

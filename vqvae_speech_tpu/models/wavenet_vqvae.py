@@ -26,6 +26,9 @@ class WaveNetVQVAEOutput(NamedTuple):
     perplexity: jax.Array
     encoding_indices: jax.Array
     new_state: Optional[dict]
+    pre_vq_latents: Optional[jax.Array] = None  # (B, T', D) encoder output
+    #   after the pre-VQ conv; feeds the revival extension's re-seed pool
+    #   (train/revival.py)
 
 
 def wavenet_vqvae_init(key, configuration: dict, num_speakers: int,
@@ -55,7 +58,13 @@ def wavenet_vqvae_init(key, configuration: dict, num_speakers: int,
         "vq": vq_params,
         "decoder": dec_params,
     }
-    return params, {"vq": vq_state}, wavenet_cfg
+    state = {"vq": vq_state}
+    if configuration.get("codebook_revival", False):
+        # usage EMA for the revival extension's dead-code detector
+        # (train/revival.py), mirroring conv_vqvae_init
+        K = configuration["num_embeddings"]
+        state["revival"] = {"usage": jnp.full((K,), 1.0 / K, dtype)}
+    return params, state, wavenet_cfg
 
 
 def wavenet_vqvae_apply(params, state, wavenet_cfg, x_enc, x_dec_onehot,
@@ -99,4 +108,5 @@ def wavenet_vqvae_apply(params, state, wavenet_cfg, x_enc, x_dec_onehot,
         perplexity=vq_out.perplexity,
         encoding_indices=vq_out.indices,
         new_state=new_state,
+        pre_vq_latents=z,
     )

@@ -68,6 +68,26 @@ def latest_checkpoint_epoch(experiments_path: str, experiment_name: str):
     return ckpts[-1] if ckpts else (None, None)
 
 
+def prune_checkpoints(experiments_path: str, experiment_name: str,
+                      keep_last: int = 2, keep_first: bool = True):
+    """Delete all but the newest ``keep_last`` checkpoints (plus the very
+    first epoch's, which carries the first training step's losses).
+
+    Opt-in disk-bound extension: the reference keeps every epoch
+    (convolutional_trainer.py:76-86) because its checkpoints are small; a
+    reference-scale WaveNetVQVAE checkpoint is ~1 GB, so an 80-epoch run
+    would need ~80 GB. Pruning trades the merged cross-epoch loss history
+    (merge_checkpoint_losses) for bounded disk — callers that need full
+    curves should leave it off."""
+    ckpts = find_checkpoints(experiments_path, experiment_name)
+    protected = set(e for e, _ in ckpts[-keep_last:])
+    if keep_first and ckpts:
+        protected.add(ckpts[0][0])
+    for epoch, path in ckpts:
+        if epoch not in protected:
+            os.remove(path)
+
+
 def load_checkpoint(path: str) -> dict:
     with open(path, "rb") as f:
         return pickle.load(f)

@@ -78,20 +78,12 @@ def make_train_step(config: dict, optimizer: optax.GradientTransformation,
     if compute_dtype is not None:
         compute_dtype = jnp.dtype(compute_dtype)
 
-    # Codebook-revival extension (default OFF — reference semantics): track
-    # a usage EMA of per-code assignment fractions and re-seed codes whose
-    # usage falls below the threshold from random pre-VQ latent rows of the
-    # current batch (the reference explored exactly this in its standalone
-    # demos, old/vqvae_2d_improved.py:153-169 — reproduced as
-    # models/vq_repulsion.py:reset_dead_codes; here it is lifted into the
-    # production trainer for both VQ variants).  Adam moments of re-seeded
-    # rows are left untouched (gradient variant), matching the demo.
-    revival = bool(config.get("codebook_revival", False))
-    rev_decay = float(config.get("revival_usage_decay", 0.99))
-    rev_threshold = config.get("revival_threshold")
-    if revival and rev_threshold is None:
-        # usage is a fraction (uniform = 1/K): default to 10% of uniform
-        rev_threshold = 0.1 / config["num_embeddings"]
+    # Codebook-revival extension (default OFF — reference semantics); the
+    # shared logic lives in train/revival.py and also serves the WaveNet
+    # trainer.
+    from vqvae_speech_tpu.train.revival import (
+        apply_revival, revival_settings)
+    revival, rev_decay, rev_threshold = revival_settings(config)
 
     def _cast(tree):
         return jax.tree_util.tree_map(
@@ -130,37 +122,6 @@ def make_train_step(config: dict, optimizer: optax.GradientTransformation,
             rev_aux = {"counts": counts.astype(jnp.float32), "flat": flat}
         return loss, (new_state, metrics, rev_aux)
 
-    def _apply_revival(key, params, model_state, rev_aux, metrics):
-        from vqvae_speech_tpu.models.vq_repulsion import reset_dead_codes
-        K = config["num_embeddings"]
-        frac = rev_aux["counts"] / jnp.maximum(
-            jnp.sum(rev_aux["counts"]), 1.0)
-        usage = (model_state["revival"]["usage"] * rev_decay
-                 + (1.0 - rev_decay) * frac)
-        ema = config["decay"] > 0.0
-        if ema:
-            vqst = model_state["vq"]
-            rr = reset_dead_codes(
-                key, vqst["codebook"], vqst["ema_w"],
-                vqst["ema_cluster_size"], usage, rev_aux["flat"],
-                threshold=rev_threshold, usage_init=1.0 / K)
-            model_state = dict(model_state, vq=dict(
-                vqst, codebook=rr.codebook, ema_w=rr.ema_w,
-                ema_cluster_size=rr.cluster_size))
-        else:
-            cb = params["vq"]["codebook"]
-            rr = reset_dead_codes(
-                key, cb, cb, jnp.zeros((K,), cb.dtype), usage,
-                rev_aux["flat"].astype(cb.dtype),
-                threshold=rev_threshold, usage_init=1.0 / K)
-            params = dict(params, vq=dict(
-                params["vq"], codebook=rr.codebook))
-        model_state = dict(model_state,
-                           revival={"usage": rr.usage})
-        metrics = dict(metrics,
-                       revived_codes=rr.num_reset.astype(jnp.float32))
-        return params, model_state, metrics
-
     def step(state: TrainState, batch):
         rng, sub = jax.random.split(state.rng)
         grads, (new_model_state, metrics, rev_aux) = jax.grad(
@@ -169,8 +130,9 @@ def make_train_step(config: dict, optimizer: optax.GradientTransformation,
         new_params = optax.apply_updates(state.params, updates)
         if revival:
             rng, rev_key = jax.random.split(rng)
-            new_params, new_model_state, metrics = _apply_revival(
-                rev_key, new_params, new_model_state, rev_aux, metrics)
+            new_params, new_model_state, metrics = apply_revival(
+                rev_key, new_params, new_model_state, rev_aux, metrics,
+                config, rev_decay, rev_threshold)
         return TrainState(new_params, new_model_state, new_opt, rng), metrics
 
     if mesh is None:

@@ -11,6 +11,7 @@ path untrainable anyway.  This module provides the working TPU trainer:
 * loss: cross-entropy over the ``quantize`` classes + vq_loss,
 * one jitted step (forward + backward + Adam update + EMA state).
 """
+import os
 from typing import Any, NamedTuple
 
 import jax
@@ -36,9 +37,17 @@ def make_wavenet_train_step(config: dict, wavenet_cfg, optimizer,
                             compute_dtype=None):
     """With ``mesh``, the batch is sharded over the ``data`` axis and the
     state replicated (same DP contract as train/trainer.py:117-124).
-    ``compute_dtype=jnp.bfloat16`` runs the WaveNet decoder in bf16 —
-    encoder/VQ stay f32 for exact index semantics, masters stay f32."""
+    ``compute_dtype=jnp.bfloat16`` (or ``compute_dtype: bfloat16`` in the
+    config) runs the WaveNet decoder in bf16 — encoder/VQ stay f32 for
+    exact index semantics, masters stay f32."""
     quantize = config["quantize"]
+    if compute_dtype is None and config.get("compute_dtype"):
+        compute_dtype = jnp.dtype(config["compute_dtype"])
+
+    from vqvae_speech_tpu.ops.vq import reference_flatten
+    from vqvae_speech_tpu.train.revival import (
+        apply_revival, revival_settings)
+    revival, rev_decay, rev_threshold = revival_settings(config)
 
     def loss_fn(params, model_state, batch, rng):
         audio = batch["preprocessed_audio"]           # (B, length+1)
@@ -56,16 +65,31 @@ def make_wavenet_train_step(config: dict, wavenet_cfg, optimizer,
         metrics = dict(out.losses)
         metrics.update(reconstruction_loss=ce, loss=loss,
                        perplexity=out.perplexity)
-        return loss, (out.new_state, metrics)
+        rev_aux = None
+        if revival:
+            K = config["num_embeddings"]
+            counts = jax.lax.stop_gradient(jnp.sum(
+                jax.nn.one_hot(out.encoding_indices.reshape(-1), K),
+                axis=0))
+            flat = jax.lax.stop_gradient(reference_flatten(
+                out.pre_vq_latents.astype(jnp.float32),
+                config["embedding_dim"]))
+            rev_aux = {"counts": counts.astype(jnp.float32), "flat": flat}
+        return loss, (out.new_state, metrics, rev_aux)
 
     def step(state: WaveNetTrainState, batch):
         rng, sub = jax.random.split(state.rng)
-        grads, (new_model_state, metrics) = jax.grad(
+        grads, (new_model_state, metrics, rev_aux) = jax.grad(
             loss_fn, has_aux=True)(state.params, state.model_state, batch,
                                    sub)
         updates, new_opt = optimizer.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
+        if revival:
+            rng, rev_key = jax.random.split(rng)
+            params, new_model_state, metrics = apply_revival(
+                rev_key, params, new_model_state, rev_aux, metrics,
+                config, rev_decay, rev_threshold)
         return WaveNetTrainState(params, new_model_state, new_opt,
                                  rng), metrics
 
@@ -120,7 +144,20 @@ class WaveNetTrainer:
             config, self._wavenet_cfg, self._optimizer, use_pallas)
 
     def train(self):
+        import json
+
         cfg = self._config
+        # compact per-epoch history alongside the checkpoints: with
+        # prune_checkpoints on, the merged cross-epoch loss curves
+        # (checkpoint.py:merge_checkpoint_losses) lose their source
+        # checkpoints, so the curves are persisted here instead
+        hist_path = os.path.join(
+            self._experiments_path, f"{self._experiment_name}_history.json")
+        history = []
+        if self._start_epoch and os.path.isfile(hist_path):
+            with open(hist_path) as f:
+                history = json.load(f)
+            history = [h for h in history if h["epoch"] <= self._start_epoch]
         for epoch in range(self._start_epoch, cfg["num_epochs"]):
             losses_list, perplexity_list = [], []
             for batch in self._loader:
@@ -138,4 +175,20 @@ class WaveNetTrainer:
                             self.state.opt_state,
                             train_res_recon_error=losses_list,
                             train_res_perplexity=perplexity_list)
+            entry = {"epoch": epoch + 1,
+                     "loss": round(losses_list[-1]["loss"], 4),
+                     "perplexity": round(perplexity_list[-1], 3)}
+            if "revived_codes" in losses_list[-1]:
+                entry["revived_codes"] = losses_list[-1]["revived_codes"]
+            history.append(entry)
+            with open(hist_path, "w") as f:
+                json.dump(history, f)
+                f.write("\n")
+            if self._config.get("prune_checkpoints"):
+                # reference-scale checkpoints are ~1 GB/epoch; keep the
+                # first (first-step losses) + last two (resume safety)
+                from vqvae_speech_tpu.train.checkpoint import (
+                    prune_checkpoints)
+                prune_checkpoints(self._experiments_path,
+                                  self._experiment_name)
         return self.state
