@@ -187,6 +187,9 @@ def run(root, spec, name):
             "compute_alignments": True,
             "compute_clustering_metrics": True,
             "alignment_subset": "val",
+            # corrected per-frame view alongside the parity default
+            # (--per_frame_alignments; eval/alignment_stats.py)
+            "per_frame_alignments": True,
         })[exp_name]
 
         # trajectory diagnostics: final-epoch perplexity + loss terms, so a
@@ -196,6 +199,9 @@ def run(root, spec, name):
         per_seed[str(seed)] = {
             "scores": {k: round(float(v), 5)
                        for k, v in results["clustering_metrics"].items()},
+            "scores_per_frame": {
+                k: round(float(v), 5) for k, v in
+                results["clustering_metrics_per_frame"].items()},
             "final_perplexity": round(float(np.asarray(
                 last["train_res_perplexity"][-1])), 3),
             "final_losses": {
@@ -214,6 +220,9 @@ def run(root, spec, name):
     metric_names = next(iter(per_seed.values()))["scores"].keys()
     medians = {m: float(np.median([s["scores"][m] for s in per_seed.values()]))
                for m in metric_names}
+    medians_pf = {m: float(np.median(
+        [s["scores_per_frame"][m] for s in per_seed.values()]))
+        for m in metric_names}
     import jax
     summary = {
         "config": name,
@@ -221,12 +230,15 @@ def run(root, spec, name):
         "wall_s": round(time.time() - t0, 1),
         "seeds": per_seed,
         "median_scores": {k: round(v, 5) for k, v in medians.items()},
+        "median_scores_per_frame": {k: round(v, 5)
+                                    for k, v in medians_pf.items()},
         "reference_real_vctk_baseline": {
             "adjusted_rand_score": 0.0341, "adjusted_mutual_info_score": 0.0229,
             "normalized_mutual_info_score": 0.0254},
     }
     with open(os.path.join(root, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
+        f.write("\n")
     print(json.dumps(summary))
     return summary
 

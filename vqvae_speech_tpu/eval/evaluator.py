@@ -118,13 +118,19 @@ class Evaluator:
         if o.get("compute_many_to_one_mapping"):
             results["many_to_one"] = self._many_to_one_mapping(subset)
         if o.get("compute_alignments"):
-            results["alignments"] = self._compute_alignments(subset)
+            results["alignments"] = self._compute_alignments(
+                subset, per_frame=o.get("per_frame_alignments", False))
         if o.get("compute_clustering_metrics"):
             from vqvae_speech_tpu.eval.alignment_stats import (
                 compute_clustering_metrics)
 
             results["clustering_metrics"] = compute_clustering_metrics(
                 self._results_path, self._name, subset, self._cfg)
+            if o.get("per_frame_alignments"):
+                results["clustering_metrics_per_frame"] = \
+                    compute_clustering_metrics(
+                        self._results_path, self._name, subset, self._cfg,
+                        per_frame=True)
         if o.get("compute_groundtruth_average_phonemes_number"):
             from vqvae_speech_tpu.eval.alignment_stats import (
                 compute_groundtruth_average_phonemes_number)
@@ -406,7 +412,7 @@ class Evaluator:
                 return p
         return None
 
-    def _compute_alignments(self, subset):
+    def _compute_alignments(self, subset, per_frame=False):
         from vqvae_speech_tpu.eval.alignment_stats import (
             compute_groundtruth_alignments, compute_empirical_alignments,
             compute_groundtruth_bigrams_matrix,
@@ -428,6 +434,12 @@ class Evaluator:
         outs["empirical"] = compute_empirical_alignments(
             self._params, self._state, store, subset, self._cfg,
             self._results_path, self._name)
+        if per_frame:
+            # corrected per-frame view alongside the parity default
+            # (--per_frame_alignments; alignment_stats.py docstring)
+            outs["empirical_per_frame"] = compute_empirical_alignments(
+                self._params, self._state, store, subset, self._cfg,
+                self._results_path, self._name, per_frame=True)
         outs["emp_bigrams"] = compute_empirical_bigrams_matrix(
             self._results_path, self._name, subset)
         outs["emp_frequency"] = compute_empirical_encodings_frequency(

@@ -45,6 +45,11 @@ def build_parser():
     p.add_argument("--alignment_subset", action="store", type=str,
                    default="val")
     p.add_argument("--compute_clustering_metrics", action="store_true")
+    p.add_argument("--per_frame_alignments", action="store_true",
+                   help="also compute the corrected per-frame empirical "
+                        "alignments and clustering metrics (X extension; "
+                        "the default keeps the reference's scrambled "
+                        "(C,T,B)-flatten pairing for parity)")
     p.add_argument("--compute_groundtruth_average_phonemes_number",
                    action="store_true")
     p.add_argument("--plot_clustering_metrics_evolution", action="store_true")
@@ -66,7 +71,7 @@ def main(argv=None):
             "compute_quantized_embedding_spaces_animation",
             "plot_distances_histogram", "compute_many_to_one_mapping",
             "compute_alignments", "alignment_subset",
-            "compute_clustering_metrics",
+            "compute_clustering_metrics", "per_frame_alignments",
             "compute_groundtruth_average_phonemes_number",
             "plot_clustering_metrics_evolution",
             "check_clustering_metrics_stability_over_seeds",
