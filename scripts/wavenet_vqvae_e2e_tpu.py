@@ -69,6 +69,24 @@ def main():
     ap.add_argument("--bf16-decoder", action="store_true",
                     help="run the WaveNet decoder in bf16 (MXU-native); "
                          "encoder/VQ stay f32 for exact index semantics")
+    ap.add_argument("--decay", type=float, default=0.0,
+                    help="VQ EMA decay (reference vctk_wavenet.yaml pins "
+                         "0.0 = gradient VQ; 0.99 selects the EMA variant, "
+                         "a first-class reference component far more "
+                         "resistant to the AR posterior collapse)")
+    ap.add_argument("--jitter", action="store_true",
+                    help="enable jitter12 in the WaveNet decoder (the "
+                         "reference's own anti-collapse regularizer for "
+                         "WaveNet decoding, wavenet_decoder.py:46-47; its "
+                         "wavenet yaml ships use_jitter: False)")
+    ap.add_argument("--revival-usage-decay", type=float, default=0.9,
+                    help="usage-EMA decay for --revival. The conv gates "
+                         "use 0.99 (~150 steps/epoch); at this corpus's "
+                         "~10 steps/epoch a dead code needs 0.99^n < 0.1 "
+                         "=> ~23 EPOCHS to trip the threshold — far too "
+                         "late (collapse completes by epoch ~8, "
+                         "reference_semantics_arm.json). 0.9 trips in ~22 "
+                         "steps (~2 epochs)")
     ap.add_argument("--force-cpu", action="store_true")
     ap.add_argument("--smoke", action="store_true",
                     help="shrink the decoder (4 layers / 64 ch, length "
@@ -104,13 +122,21 @@ def main():
         num_workers=4, num_speakers=4, normalize=True,
         normalizer_path=os.path.join(root, "stats.pickle"),
         verbose=False,
-        # ~1 GB/epoch at reference decoder scale: keep first + last two
-        prune_checkpoints=True,
+        # ~1 GB/epoch at reference decoder scale: keep first + last two,
+        # and only fetch/save every 5 epochs (the ~1 GB device->host
+        # checkpoint fetch dominates the epoch under the remote-chip
+        # tunnel; losses accumulate between saves)
+        prune_checkpoints=True, checkpoint_every=5,
     )
     if args.revival:
-        cfg.update(codebook_revival=True)
+        cfg.update(codebook_revival=True,
+                   revival_usage_decay=args.revival_usage_decay)
     if args.bf16_decoder:
         cfg.update(compute_dtype="bfloat16")
+    if args.decay:
+        cfg.update(decay=args.decay)
+    if args.jitter:
+        cfg.update(use_jitter=True)
     if args.smoke:
         cfg.update(n_loop=2, n_layers=4, gate_channels=64,
                    skip_out_channels=64, residual_channels=64,
@@ -275,7 +301,10 @@ def main():
         "platform": jax.default_backend(),
         "epochs": args.epochs, "batch": args.batch, "seed": args.seed,
         "knobs": {"codebook_revival": bool(args.revival),
-                  "bf16_decoder": bool(args.bf16_decoder)},
+                  "revival_usage_decay": (args.revival_usage_decay
+                                          if args.revival else None),
+                  "bf16_decoder": bool(args.bf16_decoder),
+                  "decay": args.decay, "use_jitter": bool(args.jitter)},
         "train_ce_first_step": round(train_ce_first, 4),
         "train_ce_final": round(train_ce_final, 4),
         "val_teacher_forced_nll": round(val_nll_mean, 4),
