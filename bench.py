@@ -167,11 +167,14 @@ def bench_torch(batch=16, iters=4):
 
 
 # Pinned torch-CPU baseline: best-of-10 bench_torch() on this image's
-# 1-vCPU container under idle load (measured 2026-08-16, values 4.2k-5.0k,
-# best 5015; regenerate with scripts/measure_torch_baseline.py).  Pinning
-# makes vs_baseline reproducible run-to-run — the live torch measurement is
-# load-sensitive (+-10% even best-of-3) and is reported separately.
-PINNED_TORCH_CPU_FPS = 5000.0
+# 1-vCPU container under idle load (re-pinned 2026-08-19: values
+# 8.6k-10.0k, best 10002, median 9327 — the round-1 pin of 5000 was
+# measured under heavier ambient load and had drifted ~2x BELOW the live
+# measurement, VERDICT r3 weak #5; regenerate with
+# scripts/measure_torch_baseline.py).  Pinning makes vs_baseline
+# reproducible run-to-run — the live torch measurement is load-sensitive
+# and is reported separately.
+PINNED_TORCH_CPU_FPS = 10002.0
 
 
 def _last_chip_graded():

@@ -27,7 +27,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--t", type=int, default=3840)
     ap.add_argument("--batches", default="1,8,16,32")
-    ap.add_argument("--quants", default="bf16,int8")
+    ap.add_argument("--quants", default="bf16,int8,int8_block")
     ap.add_argument("--out", default="serving_curve")
     args = ap.parse_args()
 
@@ -52,7 +52,7 @@ def main():
             (int(b) for b in args.batches.split(",")),
             args.quants.split(",")):
         kw = (dict(compute_dtype=jnp.bfloat16) if quant == "bf16"
-              else dict(weight_quant="int8"))
+              else dict(weight_quant=quant))
         server = BucketedSynthesisServer(
             params, cfg, frame_buckets=(frames,), max_batch=B, sample=True,
             **kw)

@@ -30,7 +30,8 @@ def main():
     ap.add_argument("--requests", type=int, default=32)
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=512)
-    ap.add_argument("--quant", default="int8", choices=["int8", "bf16"])
+    ap.add_argument("--quant", default="int8",
+                    choices=["int8", "int8_block", "bf16"])
     ap.add_argument("--out", default="serving_continuous")
     args = ap.parse_args()
 
@@ -58,7 +59,7 @@ def main():
     true_samples = int(sum(int(n) * up for n in frames))
 
     kw = (dict(compute_dtype=jnp.bfloat16) if args.quant == "bf16"
-          else dict(weight_quant="int8"))
+          else dict(weight_quant=args.quant))
 
     rows = {}
 
@@ -89,16 +90,36 @@ def main():
     cont._launches = 0
     cont._busy_steps = 0
     cont._slot_steps = 0
+    cont._wait_chunks = []
+    cont._admission_wait_chunks = []
+    cont._decode_chunks = []
     t0 = time.perf_counter()
     waves = cont.run(conds)
     dt_c = time.perf_counter() - t0
     assert all(w.wave.shape[0] == int(n) * up
                for w, n in zip(waves, frames))
+    stats = cont.stats
+    sec_per_launch = dt_c / max(stats["launches"], 1)
+
+    def to_seconds(d):
+        return (None if d is None else
+                {k: round(v * sec_per_launch, 4) for k, v in d.items()})
+
     rows["continuous"] = {
         "wall_s": round(dt_c, 3),
         "true_samples_per_s": round(true_samples / dt_c, 1),
-        "launches": cont.stats["launches"],
-        "slot_utilization": cont.stats["slot_utilization"],
+        "launches": stats["launches"],
+        "slot_utilization": stats["slot_utilization"],
+        "sec_per_launch": round(sec_per_launch, 4),
+        # per-request latency attribution (serve.py stats, converted to
+        # wall-clock via the measured launch time): admission wait is the
+        # metric continuous batching exists to improve
+        "latency_s": to_seconds(stats["latency_chunks"]),
+        "admission_wait_s": to_seconds(stats["admission_wait_chunks"]),
+        "decode_s": to_seconds(stats["decode_chunks"]),
+        "latency_chunks": stats["latency_chunks"],
+        "admission_wait_chunks": stats["admission_wait_chunks"],
+        "decode_chunks": stats["decode_chunks"],
     }
     print(json.dumps(rows["continuous"]), flush=True)
 

@@ -139,6 +139,15 @@ def test_online_submit_step_collect(vocoder):
             params, cfg, c))
         assert server.collect(rid) is None          # collect is take-once
     assert server.stats["mean_latency_chunks"] > 0
+    # per-request latency attribution: total = admission wait + decode,
+    # and with 3 requests on 2 slots at least one request waited >=1 chunk
+    st = server.stats
+    for k in ("latency_chunks", "admission_wait_chunks", "decode_chunks"):
+        assert st[k] is not None and st[k]["max"] >= st[k]["p50"] >= 0
+    assert st["admission_wait_chunks"]["max"] >= 1
+    assert (st["latency_chunks"]["mean"] ==
+            pytest.approx(st["admission_wait_chunks"]["mean"]
+                          + st["decode_chunks"]["mean"], abs=0.02))
     # second drain after the pool emptied (shared clock rewound): identical
     again = server.run([c0])[0].wave
     np.testing.assert_array_equal(again, _standalone_greedy(params, cfg, c0))

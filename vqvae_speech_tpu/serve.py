@@ -523,6 +523,11 @@ class ContinuousSynthesisServer:
         self._busy_steps = 0
         self._slot_steps = 0
         self._wait_chunks: List[int] = []    # submit -> completion, chunks
+        # per-request latency attribution (chunks): admission wait
+        # (submit -> slot) and decode (slot -> completion) — the metric
+        # continuous batching exists to improve vs whole-utterance launches
+        self._admission_wait_chunks: List[int] = []
+        self._decode_chunks: List[int] = []
 
     @property
     def pending(self) -> int:
@@ -577,6 +582,7 @@ class ContinuousSynthesisServer:
                 self._params, self._cfg, c, req["speaker_id"], self._max_t,
                 compute_dtype=self._compute_dtype)
             key = jax.random.fold_in(jax.random.PRNGKey(req["seed"]), rid)
+            req["admitted"] = self._launches
             self._state = admit_slot(self._state, s, rows, key)
             self._active[s] = [
                 rid, req["cond"].shape[0] * self._upsample_factor, []]
@@ -598,6 +604,11 @@ class ContinuousSynthesisServer:
                     bucket=self._max_t // self._upsample_factor)
                 self._wait_chunks.append(
                     self._launches - self._requests[rid]["submitted"])
+                self._admission_wait_chunks.append(
+                    self._requests[rid]["admitted"]
+                    - self._requests[rid]["submitted"])
+                self._decode_chunks.append(
+                    self._launches - self._requests[rid]["admitted"])
                 del self._active[s]
                 del self._requests[rid]
                 done.append(rid)
@@ -632,12 +643,32 @@ class ContinuousSynthesisServer:
 
     @property
     def stats(self) -> dict:
+        import numpy as _np
+
         util = (self._busy_steps / self._slot_steps
                 if self._slot_steps else 0.0)
         waits = self._wait_chunks
+
+        def dist(xs):
+            if not xs:
+                return None
+            a = _np.asarray(xs, _np.float64)
+            return {"mean": round(float(a.mean()), 2),
+                    "p50": float(_np.percentile(a, 50)),
+                    "p90": float(_np.percentile(a, 90)),
+                    "max": float(a.max())}
+
         return {"launches": self._launches, "slots": self._slots,
                 "chunk_size": self._chunk,
                 "slot_utilization": round(util, 4),
                 "mean_latency_chunks": (round(sum(waits) / len(waits), 2)
                                         if waits else 0.0),
+                # per-request attribution, in chunks (multiply by the
+                # measured seconds/launch for wall-clock): admission wait
+                # is what continuous batching exists to bound (<= 1 chunk
+                # when a slot is free vs a whole utterance for the
+                # bucketed server)
+                "latency_chunks": dist(self._wait_chunks),
+                "admission_wait_chunks": dist(self._admission_wait_chunks),
+                "decode_chunks": dist(self._decode_chunks),
                 "upsample_factor": self._upsample_factor}
