@@ -99,16 +99,20 @@ def run_student(steps, rng, teacher_cfg, teacher_params):
     t_params = jax.tree_util.tree_map(jnp.asarray, teacher_params)
 
     @jax.jit
-    def teacher_score(params):
+    def teacher_score(params, tp):
         # fixed z so before/after compare the same draw; the teacher scores
-        # the student's one-pass synthesis (train_student.py:104 semantics)
+        # the student's one-pass synthesis (train_student.py:104 semantics).
+        # The teacher params enter as a jit ARGUMENT, not a closure constant
+        # — baking tens of MB of weights into the HLO blew the compiled
+        # program past the tunnel's 2 GiB executable-serialization cap
+        # (same discipline as make_student_train_step, train/vocoder.py:144)
         z = jax.random.normal(jax.random.PRNGKey(7), batch["x"].shape)
-        c_up = gaussian_wavenet_upsample(t_params, batch["c"], teacher_cfg)
+        c_up = gaussian_wavenet_upsample(tp, batch["c"], teacher_cfg)
         x_s = wavenet_student_generate(params, cfg, z, c_up)
-        mu_logs_t = gaussian_wavenet_core(t_params, teacher_cfg, x_s, c_up)
+        mu_logs_t = gaussian_wavenet_core(tp, teacher_cfg, x_s, c_up)
         return jnp.mean(gaussian_loss(mu_logs_t[:, :-1], x_s[:, 1:]))
 
-    score_before = float(teacher_score(state.params))
+    score_before = float(teacher_score(state.params, t_params))
     traces = {"total": [], "kl": [], "reg": [], "frame": []}
     for i in range(steps):
         state, (loss, aux) = step(state, batch)
@@ -116,7 +120,7 @@ def run_student(steps, rng, teacher_cfg, teacher_params):
             traces["total"].append(float(loss))
             for k in ("kl", "reg", "frame"):
                 traces[k].append(float(aux[k]))
-    score_after = float(teacher_score(state.params))
+    score_after = float(teacher_score(state.params, t_params))
     return traces, score_before, score_after
 
 

@@ -277,3 +277,35 @@ def test_exp_families_reference_parity():
     seed_spec, names = run_names_for(FAMILIES["batch_sizes"], 1234)
     assert seed_spec == 1234
     assert names == [f"baseline-{b}" for b in (2, 16, 32, 64)]
+
+
+def test_wavenet_vqvae_e2e_gates_pin_margin_semantics():
+    """The e2e quality gates are margins vs uniform NLL (ln 256), not
+    absolute numbers — and the committed chip artifact passes them
+    (scripts/wavenet_vqvae_e2e_tpu.py::apply_gates; reference model being
+    evidenced: src/models/wavenet_vq_vae.py:36-127, untrainable there)."""
+    import json
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    from scripts.wavenet_vqvae_e2e_tpu import UNIFORM_NLL, apply_gates
+
+    art = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "wavenet_vqvae_e2e", "summary.json")
+    with open(art) as f:
+        summary = json.load(f)
+    apply_gates(summary)  # the committed artifact certifies
+
+    # a model that only memorized noise (train descends, val at uniform)
+    # must NOT pass
+    bad = dict(summary, val_teacher_forced_nll=UNIFORM_NLL - 0.2)
+    with pytest.raises(AssertionError):
+        apply_gates(bad)
+    # an unconditional-collapse stream scoring above uniform must NOT pass
+    bad2 = dict(summary, generation={"f32": {
+        "gen_stream_nll_under_model": UNIFORM_NLL + 0.1}})
+    with pytest.raises(AssertionError):
+        apply_gates(bad2)
