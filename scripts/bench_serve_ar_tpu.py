@@ -80,10 +80,12 @@ def main():
     # still exceeds realtime (16 kHz)
     realtime = [r for r in rows if r["samples_per_s_per_stream"] >= 16000]
     rec = max(realtime or rows, key=lambda r: r["samples_per_s_total"])
-    summary = {"gen_samples": T, "rows": rows, "recommended": rec}
+    summary = {"platform": jax.devices()[0].platform,
+               "gen_samples": T, "rows": rows, "recommended": rec}
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
+        f.write("\n")
     print(json.dumps(summary))
 
 

@@ -30,10 +30,14 @@ def main():
     ap.add_argument("--requests", type=int, default=32)
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=512)
-    ap.add_argument("--quant", default="int8",
-                    choices=["int8", "int8_block", "bf16"])
+    ap.add_argument("--quants", default="int8,int8_block",
+                    help="comma list of int8 | int8_block | bf16; each gets "
+                         "its own bucketed-vs-continuous comparison")
     ap.add_argument("--out", default="serving_continuous")
     args = ap.parse_args()
+    quants = args.quants.split(",")
+    for q in quants:
+        assert q in ("int8", "int8_block", "bf16"), q
 
     import jax
     import jax.numpy as jnp
@@ -58,79 +62,88 @@ def main():
              .astype(np.float32) for n in frames]
     true_samples = int(sum(int(n) * up for n in frames))
 
-    kw = (dict(compute_dtype=jnp.bfloat16) if args.quant == "bf16"
-          else dict(weight_quant=args.quant))
+    per_quant = {}
+    for quant in quants:
+        kw = (dict(compute_dtype=jnp.bfloat16) if quant == "bf16"
+              else dict(weight_quant=quant))
+        rows = {}
 
-    rows = {}
+        # ---- bucketed baseline: buckets at 4/10 frames, batch = slots ----
+        bucketed = BucketedSynthesisServer(
+            params, cfg, frame_buckets=(4, 10), max_batch=args.slots,
+            sample=True, **kw)
+        bucketed.synthesize(conds[:1])                      # warm small bucket
+        bucketed.synthesize([conds[int(np.argmax(frames))]])  # warm big bucket
+        t0 = time.perf_counter()
+        waves = bucketed.synthesize(conds)
+        dt_b = time.perf_counter() - t0
+        assert all(w.wave.shape[0] == int(n) * up
+                   for w, n in zip(waves, frames))
+        # padded samples actually decoded: every launch rides its bucket
+        rows["bucketed"] = {
+            "wall_s": round(dt_b, 3),
+            "true_samples_per_s": round(true_samples / dt_b, 1),
+            "launches": bucketed.stats["launches"] - 2,
+        }
+        print(json.dumps({quant: rows["bucketed"]}), flush=True)
 
-    # ---- bucketed baseline: buckets at 4 and 10 frames, batch = slots ----
-    bucketed = BucketedSynthesisServer(
-        params, cfg, frame_buckets=(4, 10), max_batch=args.slots,
-        sample=True, **kw)
-    bucketed.synthesize(conds[:1])                      # warm small bucket
-    bucketed.synthesize([conds[int(np.argmax(frames))]])  # warm big bucket
-    t0 = time.perf_counter()
-    waves = bucketed.synthesize(conds)
-    dt_b = time.perf_counter() - t0
-    assert all(w.wave.shape[0] == int(n) * up
-               for w, n in zip(waves, frames))
-    # padded samples actually decoded: every launch rides its bucket
-    rows["bucketed"] = {
-        "wall_s": round(dt_b, 3),
-        "true_samples_per_s": round(true_samples / dt_b, 1),
-        "launches": bucketed.stats["launches"] - 2,
-    }
-    print(json.dumps(rows["bucketed"]), flush=True)
+        # ---- continuous batching ----
+        cont = ContinuousSynthesisServer(
+            params, cfg, slots=args.slots, chunk_size=args.chunk,
+            max_frames=10, sample=True, **kw)
+        cont.run(conds[:1])                                 # warm: compile
+        cont._launches = 0
+        cont._busy_steps = 0
+        cont._slot_steps = 0
+        cont._wait_chunks = []
+        cont._admission_wait_chunks = []
+        cont._decode_chunks = []
+        t0 = time.perf_counter()
+        waves = cont.run(conds)
+        dt_c = time.perf_counter() - t0
+        assert all(w.wave.shape[0] == int(n) * up
+                   for w, n in zip(waves, frames))
+        stats = cont.stats
+        sec_per_launch = dt_c / max(stats["launches"], 1)
 
-    # ---- continuous batching ----
-    cont = ContinuousSynthesisServer(
-        params, cfg, slots=args.slots, chunk_size=args.chunk,
-        max_frames=10, sample=True, **kw)
-    cont.run(conds[:1])                                 # warm: compile
-    cont._launches = 0
-    cont._busy_steps = 0
-    cont._slot_steps = 0
-    cont._wait_chunks = []
-    cont._admission_wait_chunks = []
-    cont._decode_chunks = []
-    t0 = time.perf_counter()
-    waves = cont.run(conds)
-    dt_c = time.perf_counter() - t0
-    assert all(w.wave.shape[0] == int(n) * up
-               for w, n in zip(waves, frames))
-    stats = cont.stats
-    sec_per_launch = dt_c / max(stats["launches"], 1)
+        def to_seconds(d):
+            return (None if d is None else
+                    {k: round(v * sec_per_launch, 4) for k, v in d.items()})
 
-    def to_seconds(d):
-        return (None if d is None else
-                {k: round(v * sec_per_launch, 4) for k, v in d.items()})
-
-    rows["continuous"] = {
-        "wall_s": round(dt_c, 3),
-        "true_samples_per_s": round(true_samples / dt_c, 1),
-        "launches": stats["launches"],
-        "slot_utilization": stats["slot_utilization"],
-        "sec_per_launch": round(sec_per_launch, 4),
-        # per-request latency attribution (serve.py stats, converted to
-        # wall-clock via the measured launch time): admission wait is the
-        # metric continuous batching exists to improve
-        "latency_s": to_seconds(stats["latency_chunks"]),
-        "admission_wait_s": to_seconds(stats["admission_wait_chunks"]),
-        "decode_s": to_seconds(stats["decode_chunks"]),
-        "latency_chunks": stats["latency_chunks"],
-        "admission_wait_chunks": stats["admission_wait_chunks"],
-        "decode_chunks": stats["decode_chunks"],
-    }
-    print(json.dumps(rows["continuous"]), flush=True)
+        rows["continuous"] = {
+            "wall_s": round(dt_c, 3),
+            "true_samples_per_s": round(true_samples / dt_c, 1),
+            "launches": stats["launches"],
+            "slot_utilization": stats["slot_utilization"],
+            "sec_per_launch": round(sec_per_launch, 4),
+            # per-request latency attribution (serve.py stats, converted to
+            # wall-clock via the measured launch time): admission wait is the
+            # metric continuous batching exists to improve
+            "latency_s": to_seconds(stats["latency_chunks"]),
+            "admission_wait_s": to_seconds(stats["admission_wait_chunks"]),
+            "decode_s": to_seconds(stats["decode_chunks"]),
+            "latency_chunks": stats["latency_chunks"],
+            "admission_wait_chunks": stats["admission_wait_chunks"],
+            "decode_chunks": stats["decode_chunks"],
+        }
+        print(json.dumps({quant: rows["continuous"]}), flush=True)
+        per_quant[quant] = {
+            "rows": rows,
+            "speedup_continuous_over_bucketed": round(dt_b / dt_c, 3),
+        }
 
     summary = {
         "platform": jax.devices()[0].platform,
         "requests": args.requests, "slots": args.slots,
-        "chunk_size": args.chunk, "quant": args.quant,
+        "chunk_size": args.chunk, "quants": quants,
         "frames_min_max": [int(frames.min()), int(frames.max())],
         "true_samples": true_samples,
-        "rows": rows,
-        "speedup_continuous_over_bucketed": round(dt_b / dt_c, 3),
+        "per_quant": per_quant,
+        # back-compat aliases for the first quant in the sweep
+        "quant": quants[0],
+        "rows": per_quant[quants[0]]["rows"],
+        "speedup_continuous_over_bucketed":
+            per_quant[quants[0]]["speedup_continuous_over_bucketed"],
     }
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "summary.json"), "w") as f:
