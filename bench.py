@@ -218,6 +218,12 @@ def main():
         # (throughput is still per-iteration-normalized and honest)
         jax_fps = bench_jax(batch=256, iters=4)
     else:
+        # Stamp the RESOLVED backend (platform + device kind), not the
+        # "default" alias — same provenance standard as the quality/serving
+        # artifacts (ADVICE r4 #3).
+        import jax
+        dev = jax.devices()[0]
+        platform = f"{dev.platform}:{getattr(dev, 'device_kind', '?')}"
         jax_fps = bench_jax()
     vs_baseline = round(jax_fps / PINNED_TORCH_CPU_FPS, 2)
     try:

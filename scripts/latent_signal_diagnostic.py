@@ -171,6 +171,12 @@ def diagnose(root, seed, name="phonemes_flagship", force_cpu=True):
         "effective_codes_per_frame": int(
             len(set(perframe_assign.tolist()))),
         "effective_codes_after_refit": int(len(set(refit_assign.tolist()))),
+        # usage fractions per code, sorted descending — the dilution
+        # diagnostic for cross-scale comparison (VERDICT r4 #2): more data
+        # spreading assignments over more codes shows up as a flatter head
+        "code_usage_histogram": [
+            round(float(c) / max(len(codes), 1), 4) for c in sorted(
+                np.bincount(codes, minlength=K).tolist(), reverse=True)],
     }
     return res
 

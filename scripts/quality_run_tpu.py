@@ -215,6 +215,9 @@ def run(root, spec, name):
                 "codebook_refit_assignment"]
             per_seed[str(seed)]["latent_kmeans_ari"] = diag[
                 "kmeans_on_prevq_latents"]["0"]["ari"]
+            per_seed[str(seed)]["codes_used"] = diag["effective_codes_used"]
+            per_seed[str(seed)]["code_usage_histogram"] = diag[
+                "code_usage_histogram"]
         print(json.dumps({"seed": seed, **per_seed[str(seed)]}), flush=True)
 
     metric_names = next(iter(per_seed.values()))["scores"].keys()
@@ -271,6 +274,10 @@ def main():
     ap.add_argument("--utt-seconds", type=float, default=None,
                     help="flagship corpus utterance length override (s)")
     ap.add_argument("--root", default="quality_run")
+    ap.add_argument("--no-gate", action="store_true",
+                    help="skip the pass/fail assertions (exploratory runs "
+                         "at off-gate corpus scales, e.g. the 16-speaker "
+                         "dilution study — the artifact is still written)")
     ap.add_argument("--force-cpu", action="store_true",
                     help="run on the host CPU backend (fallback when the "
                          "chip tunnel is down; the artifact records its "
@@ -319,6 +326,12 @@ def main():
         root = (args.root if args.root != "quality_run"
                 else "quality_run_flagship" + variant)
         summary = run(root, spec, "phonemes_flagship" + variant)
+        if args.no_gate:
+            print(json.dumps({"median_refit_scores": {
+                m: float(np.median([r["refit_scores"][m]
+                                    for r in summary["seeds"].values()]))
+                for m in ("ari", "ami", "nmi")}}))
+            return
         # parity-path stability: the drift failure mode is e_latent ~1e3
         # (round-2 postmortem); the healthy band measured 0.4-1.4 on the
         # 12-phone corpus and ~2 on the 37-phone one (more content classes
