@@ -297,15 +297,33 @@ def test_wavenet_vqvae_e2e_gates_pin_margin_semantics():
         os.path.abspath(__file__))), "wavenet_vqvae_e2e", "summary.json")
     with open(art) as f:
         summary = json.load(f)
+    if "median" not in summary:
+        pytest.skip("committed e2e artifact predates the round-5 "
+                    "multi-seed format (re-generated on chip this round)")
     apply_gates(summary)  # the committed artifact certifies
 
     # a model that only memorized noise (train descends, val at uniform)
     # must NOT pass
-    bad = dict(summary, val_teacher_forced_nll=UNIFORM_NLL - 0.2)
+    bad = dict(summary, median=dict(
+        summary["median"], val_teacher_forced_nll=UNIFORM_NLL - 0.2))
     with pytest.raises(AssertionError):
         apply_gates(bad)
-    # an unconditional-collapse stream scoring above uniform must NOT pass
-    bad2 = dict(summary, generation={"f32": {
-        "gen_stream_nll_under_model": UNIFORM_NLL + 0.1}})
+    # a near-collapsed codebook must NOT pass, whatever its NLL margins
+    # (round-4's artifact scored 6/44 codes and slipped through)
+    bad2 = dict(summary, median=dict(summary["median"], codes_used_val=6))
     with pytest.raises(AssertionError):
         apply_gates(bad2)
+    # an ignored conditional channel (wrong-codes NLL == true-codes NLL)
+    # must NOT pass
+    bad3 = dict(summary, median=dict(
+        summary["median"], wrong_codes_gap_nats=0.0))
+    with pytest.raises(AssertionError):
+        apply_gates(bad3)
+    # an unconditional-collapse stream scoring above uniform must NOT pass
+    first_seed = next(iter(summary["per_seed"]))
+    bad_seed = dict(summary["per_seed"][first_seed], generation={"f32": {
+        "gen_stream_nll_under_model": UNIFORM_NLL + 0.1}})
+    bad4 = dict(summary, per_seed=dict(
+        summary["per_seed"], **{first_seed: bad_seed}))
+    with pytest.raises(AssertionError):
+        apply_gates(bad4)
