@@ -21,6 +21,16 @@ Writes train_mfu/summary.json.  Reference being attributed: the
 ConvolutionalTrainer step (reference convolutional_trainer.py:44-74 runs
 ~7 framework calls per step; ours is ONE compiled program).
 
+Round-5 extension (VERDICT r4 weak #4): a batch-2 row — the reference's
+flagship operating point (experiments_vq44-mfcc39.json batch_size 2) and the
+regime every quality gate trains in — plus an attribution that separates
+* device-side step time (scan-chained, the usual methodology),
+* fwd+bwd-only and Adam-update-only device time at batch 2 (which of
+  compute vs optimizer HBM traffic owns the device step), and
+* the REAL per-step dispatch loop (one host dispatch per step, prefetched
+  constant batch — what ConvolutionalTrainer.train actually does), whose
+  gap vs the scan-chained number is the host/tunnel dispatch overhead.
+
 Usage: python scripts/train_mfu_tpu.py [iters]
 """
 import json
@@ -34,6 +44,7 @@ sys.path.insert(0, REPO_ROOT)
 import numpy as np
 import jax
 import jax.numpy as jnp
+import optax
 
 from bench import FRAMES, NUMCEP, HID, EMB_DIM, CODES, N_RES
 
@@ -63,7 +74,7 @@ def main(iters=50):
     out = {"platform": jax.default_backend(), "iters": iters,
            "bf16_peak_tflops": BF16_PEAK / 1e12,
            "hbm_bw_gbs": HBM_BW / 1e9, "rows": {}}
-    for batch in (64, 512):
+    for batch in (2, 64, 512):
         cfg = make_cfg(batch)
         params, model_state = conv_vqvae_init(jax.random.PRNGKey(0), cfg)
         n_params = sum(int(np.prod(l.shape))
@@ -121,6 +132,82 @@ def main(iters=50):
                 opt_floor_ms / ms_per_step, 4),
             "utterances_per_s": round(batch / (ms_per_step / 1e3), 1),
         }
+        if batch == 2:
+            # ---- attribution at the gate operating point ----
+            # (a) fwd+bwd only (grads computed and reduced to a probe, no
+            #     optimizer update): the compute share of the device step
+            @jax.jit
+            def run_fwdbwd(state0, b):
+                def body(key, _):
+                    key, sub = jax.random.split(key)
+
+                    def loss_of(p):
+                        # mirror the step's loss (trainer.py loss_fn)
+                        from vqvae_speech_tpu.models import conv_vqvae_apply
+                        o = conv_vqvae_apply(p, state0.model_state,
+                                             b["input_features"], cfg,
+                                             training=True, rng=sub)
+                        return o.vq_loss + jnp.mean(jnp.square(
+                            o.reconstructed_x - b["output_features"]))
+
+                    g = jax.grad(loss_of)(state0.params)
+                    probe = sum(jnp.sum(l) for l in
+                                jax.tree_util.tree_leaves(g))
+                    return key, probe
+                _, probes = jax.lax.scan(body, jnp.asarray(state0.rng),
+                                         None, length=iters)
+                return probes[-1]
+
+            # (b) Adam-amsgrad update only on frozen grads: the optimizer
+            #     HBM-traffic share, isolated
+            grads_const = jax.tree_util.tree_map(
+                lambda p: jnp.full_like(p, 1e-6), state.params)
+
+            @jax.jit
+            def run_opt(state0, g):
+                def body(carry, _):
+                    p, o = carry
+                    upd, o2 = opt.update(g, o, p)
+                    return (optax.apply_updates(p, upd), o2), upd[
+                        "vq"]["codebook"][0, 0] if isinstance(
+                            upd, dict) else jnp.float32(0)
+                (p_f, _), probes = jax.lax.scan(
+                    body, (state0.params, state0.opt_state), None,
+                    length=iters)
+                return p_f["vq"]["codebook"][0, 0]
+
+            for label, fn, arg in (("fwd_bwd_only", run_fwdbwd, batch_dict),
+                                   ("adam_update_only", run_opt,
+                                    grads_const)):
+                float(fn(state, arg))  # compile + run
+                best_part = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    float(fn(state, arg))
+                    best_part = min(best_part, time.perf_counter() - t0)
+                row[f"{label}_ms"] = round(best_part / iters * 1e3, 3)
+
+            # (c) the REAL dispatch loop: one host->device dispatch per
+            #     step on a device-resident batch (what the trainer's epoch
+            #     loop does, minus the data loader) — the gap vs the
+            #     scan-chained ms/step is host+tunnel dispatch overhead
+            dev_batch = jax.device_put(batch_dict)
+            st = state
+            for _ in range(5):                       # warm the dispatch path
+                st, m = step(st, dev_batch)
+            jax.block_until_ready(m)
+            n_loop = min(iters, 50)
+            t0 = time.perf_counter()
+            for _ in range(n_loop):
+                st, m = step(st, dev_batch)
+            # bound completion by a HOST FETCH (tunnel: block_until_ready
+            # returns early, bench.py note)
+            float(m["loss"])
+            row["dispatch_loop_ms_per_step"] = round(
+                (time.perf_counter() - t0) / n_loop * 1e3, 3)
+            row["dispatch_overhead_ms_per_step"] = round(
+                row["dispatch_loop_ms_per_step"] - row["ms_per_step"], 3)
+
         out["rows"][str(batch)] = row
         print(json.dumps({str(batch): row}), flush=True)
 

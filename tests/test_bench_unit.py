@@ -60,9 +60,11 @@ def test_main_chip_path_unchanged(monkeypatch, capsys):
     bench.main()
     out = json.loads(capsys.readouterr().out.strip())
     # chip path keeps the measured v5e operating point and carries no
-    # fallback context block
+    # fallback context block; the platform field is the RESOLVED backend
+    # stamp "<platform>:<device_kind>" (ADVICE r4 #3 — in this test env
+    # the default backend is the host CPU), never the "default" alias
     assert calls == {"batch": 1024, "iters": 20}
-    assert out["platform"] == "default"
+    assert ":" in out["platform"] and out["platform"] != "cpu-fallback"
     assert "last_chip_graded" not in out
 
 
