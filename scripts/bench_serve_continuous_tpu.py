@@ -155,10 +155,12 @@ def main():
                 # state scales linearly in slots); record the measured
                 # capacity ceiling instead of dying — it IS a sweep point
                 msg = str(e)
-                oom = [ln for ln in msg.splitlines() if "hbm" in ln.lower()]
+                oom = [ln for ln in msg.splitlines()
+                       if "ran out of memory" in ln.lower()
+                       or "exceeded hbm capacity" in ln.lower()]
                 slots_sweep[str(s)] = {
                     "error": "HBM out of memory at compile",
-                    "detail": (oom[-1].strip() if oom else msg[-300:]),
+                    "detail": (oom[0].strip() if oom else msg[-300:]),
                 }
                 print(json.dumps({f"slots={s}": slots_sweep[str(s)]}),
                       flush=True)

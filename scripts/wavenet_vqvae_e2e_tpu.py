@@ -107,6 +107,25 @@ def main():
                          "re-seeding, which at ~10 steps/epoch lets the "
                          "collapse finish first; 0.5 re-seeds anything "
                          "below half of uniform (the aggressive arm)")
+    ap.add_argument("--ar-input-dropout", type=float, default=0.0,
+                    help="zero each teacher-forcing input sample with this "
+                         "probability during training (train/"
+                         "wavenet_trainer.py). THE principled "
+                         "anti-posterior-collapse lever at reference "
+                         "decoder scale: the aggressive-revival probe "
+                         "measured a wrong-codes causality gap of 0.0 "
+                         "nats — the 20L/768ch decoder models this corpus "
+                         "from AR context alone and ignores the codes; "
+                         "masking the AR input forces the conditional "
+                         "(codes) path to carry the information")
+    ap.add_argument("--decoder-layers", type=int, default=None,
+                    help="override n_layers (capacity arm: a smaller "
+                         "decoder cannot model the corpus unconditionally "
+                         "and must use the codes; must be divisible by "
+                         "n_loop=2)")
+    ap.add_argument("--decoder-channels", type=int, default=None,
+                    help="override residual/gate channels for the "
+                         "capacity arm")
     ap.add_argument("--utts", type=int, default=12,
                     help="utterances per speaker (4 speakers). 12 (~38 "
                          "train utts) lets the 20L/768ch decoder memorize "
@@ -166,6 +185,13 @@ def main():
                 args.revival_threshold_frac / cfg["num_embeddings"]))
     if args.bf16_decoder:
         cfg.update(compute_dtype="bfloat16")
+    if args.ar_input_dropout:
+        cfg.update(ar_input_dropout=args.ar_input_dropout)
+    if args.decoder_layers:
+        cfg.update(n_layers=args.decoder_layers)
+    if args.decoder_channels:
+        cfg.update(residual_channels=args.decoder_channels,
+                   gate_channels=args.decoder_channels)
     if args.decay:
         cfg.update(decay=args.decay)
     if args.jitter:

@@ -134,3 +134,53 @@ def test_prune_checkpoints_unit(tmp_path):
     # keeping fewer than exist is a no-op beyond the protected set
     prune_checkpoints(str(tmp_path), "x", keep_last=1, keep_first=False)
     assert [e for e, _ in find_checkpoints(str(tmp_path), "x")] == [6]
+
+
+def test_ar_input_dropout_step():
+    """``ar_input_dropout`` masks the teacher-forcing input (the anti-
+    posterior-collapse lever: at reference decoder scale the AR context
+    alone models a small corpus and the wrong-codes causality gap measures
+    0.0 nats — wavenet_vqvae_e2e probe).  p>0 must change the loss on an
+    identical state/batch, p=0 must be bit-identical to the knob-off
+    trainer, and every metric stays finite."""
+    import jax
+    import optax
+    from vqvae_speech_tpu.models.wavenet_vqvae import wavenet_vqvae_init
+    from vqvae_speech_tpu.train.wavenet_trainer import (
+        WaveNetTrainState, make_wavenet_train_step)
+
+    cfg = dict(TINY_CFG)
+    cfg.update(decoder_type="wavenet", length=512, quantize=16,
+               input_features_dim=3, output_features_dim=3,
+               num_hiddens=8, embedding_dim=8, num_embeddings=5,
+               residual_channels=8, n_loop=1, n_layers=2, filter_size=2,
+               gate_channels=8, skip_out_channels=8,
+               global_condition_dim=4, local_condition_dim=8,
+               num_speakers=2)
+    key = jax.random.PRNGKey(0)
+    params, model_state, wn_cfg = wavenet_vqvae_init(key, cfg, 2)
+    opt = optax.amsgrad(1e-3)
+
+    rng = np.random.default_rng(0)
+    B = 2
+    batch = {
+        "preprocessed_audio": np.tanh(rng.standard_normal(
+            (B, cfg["length"] + 1))).astype(np.float32),
+        "input_features": rng.standard_normal(
+            (B, cfg["length"] // 160 + 1, 39)).astype(np.float32),
+        "speaker_id": np.zeros((B,), np.int32),
+    }
+
+    def run(c):
+        step = make_wavenet_train_step(c, wn_cfg, opt)
+        state = WaveNetTrainState(params, model_state,
+                                  opt.init(params), key)
+        _, metrics = step(state, batch)
+        return {k: float(v) for k, v in metrics.items()}
+
+    m_off = run(cfg)
+    m_zero = run(dict(cfg, ar_input_dropout=0.0))
+    m_drop = run(dict(cfg, ar_input_dropout=0.5))
+    assert m_zero["loss"] == m_off["loss"]           # p=0 is the off path
+    assert m_drop["loss"] != m_off["loss"]           # the mask is real
+    assert all(np.isfinite(v) for v in m_drop.values())

@@ -48,11 +48,25 @@ def make_wavenet_train_step(config: dict, wavenet_cfg, optimizer,
     from vqvae_speech_tpu.train.revival import (
         apply_revival, revival_settings)
     revival, rev_decay, rev_threshold = revival_settings(config)
+    # ``ar_input_dropout: p`` zeroes each teacher-forcing input sample with
+    # probability p (training only; evaluation and generation see full
+    # inputs).  Anti-posterior-collapse lever: at reference decoder scale
+    # (20L/768ch) the AR context alone models a small corpus and the
+    # decoder learns to IGNORE the VQ codes (measured: wrong-codes
+    # causality gap 0.0 nats, wavenet_vqvae_e2e_probe) — masking the AR
+    # input forces the conditional path to carry information (same
+    # mechanism as word dropout in sentence VAEs, Bowman et al. 2016).
+    ar_drop = float(config.get("ar_input_dropout") or 0.0)
 
     def loss_fn(params, model_state, batch, rng):
         audio = batch["preprocessed_audio"]           # (B, length+1)
         q = mu_law_encode(audio, quantize)            # (B, length+1)
         x_dec = jax.nn.one_hot(q[:, :-1], quantize)   # teacher-forcing input
+        if ar_drop:
+            rng, dkey = jax.random.split(rng)
+            keep = jax.random.bernoulli(dkey, 1.0 - ar_drop,
+                                        q[:, :-1].shape)
+            x_dec = x_dec * keep[..., None].astype(x_dec.dtype)
         target = q[:, 1:]                             # next-sample classes
         out = wavenet_vqvae_apply(
             params, model_state, wavenet_cfg, batch["input_features"],
