@@ -237,10 +237,21 @@ def main():
 
     normalizer = load_normalizer(cfg["normalizer_path"])
 
+    # ``--ar-input-dropout 1.0`` is the CODES-ONLY arm: the decoder never
+    # sees the autoregressive input (training masks every sample), so the
+    # VQ codes must carry all the information — the arm that removes the
+    # AR shortcut which the probe arms measured to be information-
+    # theoretically dominant on this corpus (wrong-codes gap 0.0 nats at
+    # 20L/768ch, at 10L/256ch, and at 50% input dropout).  Evaluation and
+    # generation must be consistent: zeroed AR input.
+    codes_only = args.ar_input_dropout >= 1.0
+
     @jax.jit
     def val_nll(params, model_state, feats, audio, speaker):
         q = mu_law_encode(audio, cfg["quantize"])
         x_dec = jax.nn.one_hot(q[:, :-1], cfg["quantize"])
+        if codes_only:
+            x_dec = jnp.zeros_like(x_dec)
         out = wavenet_vqvae_apply(params, model_state, wavenet_cfg, feats,
                                   x_dec, speaker, cfg, training=False)
         logp = jax.nn.log_softmax(out.reconstructed_x, axis=-1)
@@ -341,7 +352,49 @@ def main():
 
         # ---- generate from a val utterance's codes ----
         gen_rows = {}
-        if not args.skip_generation:
+        if not args.skip_generation and codes_only:
+            # codes-only decoder: generation is ONE forward pass over the
+            # zeroed AR input — each sample's categorical depends only on
+            # the upsampled codes (+speaker), so there is no scan at all
+            batch = val_batches[0]
+            feats = jnp.asarray(batch["input_features"])
+            speaker = jnp.asarray(batch["speaker_id"])
+            gt_audio = np.asarray(batch["preprocessed_audio"])[0]
+            t_gen = time.time()
+            x_zero = jnp.zeros((1, cfg["length"], cfg["quantize"]))
+            out = wavenet_vqvae_apply(params, model_state, wavenet_cfg,
+                                      feats, x_zero, speaker, cfg,
+                                      training=False)
+            sampled = jax.random.categorical(jax.random.PRNGKey(seed),
+                                             out.reconstructed_x)
+            gen_audio = np.asarray(mu_law_decode(sampled,
+                                                 cfg["quantize"]))[0]
+            gen_wall = time.time() - t_gen
+            T = gen_audio.shape[0]
+            pad = cfg["length"] + 1 - T
+            audio_padded = jnp.pad(jnp.asarray(gen_audio[None]),
+                                   ((0, 0), (0, max(pad, 0))))
+            ce_gen, _ = val_nll(params, model_state, feats, audio_padded,
+                                speaker)
+            mel_gt = np.asarray(logfbank(
+                jnp.asarray(gt_audio[None, :T]), cfg["sampling_rate"]))[0]
+            mel_gen = np.asarray(logfbank(
+                jnp.asarray(gen_audio[None, :T]), cfg["sampling_rate"]))[0]
+            n = min(len(mel_gt), len(mel_gen))
+            mel_corr = float(np.corrcoef(mel_gt[:n].ravel(),
+                                         mel_gen[:n].ravel())[0, 1])
+            np.save(os.path.join(root, f"generated_codes_only_s{seed}.npy"),
+                    gen_audio)
+            gen_rows["codes_only_onepass"] = {
+                "gen_samples": int(T),
+                "gen_wall_s": round(gen_wall, 2),
+                "gen_stream_nll_under_model": round(float(ce_gen), 4),
+                "mel_envelope_corr_vs_groundtruth": round(mel_corr, 4),
+            }
+            print(json.dumps(
+                {f"s{seed}_codes_only_onepass":
+                 gen_rows["codes_only_onepass"]}), flush=True)
+        elif not args.skip_generation:
             batch = val_batches[0]
             feats = jnp.asarray(batch["input_features"])
             speaker = jnp.asarray(batch["speaker_id"])
@@ -427,7 +480,10 @@ def main():
                   "revival_threshold_frac": (args.revival_threshold_frac
                                              if args.revival else None),
                   "bf16_decoder": bool(args.bf16_decoder),
-                  "decay": args.decay, "use_jitter": bool(args.jitter)},
+                  "decay": args.decay, "use_jitter": bool(args.jitter),
+                  "ar_input_dropout": args.ar_input_dropout,
+                  "decoder_layers": args.decoder_layers,
+                  "decoder_channels": args.decoder_channels},
         "uniform_nll": round(UNIFORM_NLL, 4),
         "per_seed": per_seed,
         "median": {
