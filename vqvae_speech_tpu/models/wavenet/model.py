@@ -123,12 +123,22 @@ def wavenet_init(key, cfg: WaveNetConfig, dtype=jnp.float32):
                 ks[cfg.layers + 3], (cfg.n_speakers, cfg.gin_channels), dtype)}
     if cfg.upsample_conditional_features:
         up = []
-        kup = jax.random.split(ks[cfg.layers + 4], len(cfg.upsample_scales))
-        for i, s in enumerate(cfg.upsample_scales):
+        for s in cfg.upsample_scales:
             kh = cfg.freq_axis_kernel_size
-            # single-channel 2D transposed conv kernel (kh, kw=s)
-            std = math.sqrt(1.0 / (kh * s))
-            v = std * jax.random.normal(kup[i], (kh, s, 1, 1), dtype)
+            # single-channel 2D transposed conv kernel (kh, kw=s).
+            # Reference semantics (modules.py:53-62): the weight is FILLED
+            # with 1/freq_axis_kernel_size and the bias zeroed, so the
+            # initial upsample is an amplitude-preserving freq-axis
+            # average and the post-stage ReLU is benign ("this should
+            # avoid non-negative upsampling output", wavenet.py:191-192).
+            # A random init here attenuates the conditioning ~2x per
+            # ReLU stage (~200x over six stages); training then shuts the
+            # starved channel completely — once any stage's bias drifts
+            # below the tiny signal floor, ReLU outputs exact zeros, the
+            # LC gradient is identically zero, and the codes channel is
+            # severed forever (measured: wavenet_vqvae_e2e_codesonly
+            # checkpoint, upsampled-LC nonzero fraction 0.0000).
+            v = jnp.full((kh, s, 1, 1), 1.0 / kh, dtype)
             g = jnp.sqrt(jnp.sum(jnp.square(v)))
             up.append({"v": v, "g": g.reshape(1), "b": jnp.zeros((1,), dtype)})
         params["upsample_conv"] = up
