@@ -293,37 +293,62 @@ def test_wavenet_vqvae_e2e_gates_pin_margin_semantics():
         os.path.dirname(os.path.abspath(__file__)))))
     from scripts.wavenet_vqvae_e2e_tpu import UNIFORM_NLL, apply_gates
 
-    art = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "wavenet_vqvae_e2e", "summary.json")
-    with open(art) as f:
-        summary = json.load(f)
-    if "median" not in summary:
-        pytest.skip("committed e2e artifact predates the round-5 "
-                    "multi-seed format (re-generated on chip this round)")
-    apply_gates(summary)  # the committed artifact certifies
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+    # The PINNED NEGATIVE RESULT (RESULTS.md round-5 e2e section): the
+    # codes-only arm with the FIXED LC-upsample init keeps the channel
+    # structurally alive (post_hoc_diagnostics: nonzero upsampled LC,
+    # nonzero logit sensitivity to a codes swap) yet measures ~1e-5 nats
+    # of conditional information — far below the 25%-of-ceiling
+    # certification bar.  apply_gates must REJECT it: the reference
+    # architecture (one 29-way code per 384 samples) does not meet the
+    # "genuinely conditional codes->audio model" bar, and this test keeps
+    # both the bar and that finding from silently drifting.
+    fixed = os.path.join(repo, "wavenet_vqvae_e2e_codesonly_fixedinit",
+                         "summary.json")
+    with open(fixed) as f:
+        fixed_summary = json.load(f)
+    diags = fixed_summary["post_hoc_diagnostics"]
+    assert diags["upsampled_lc_nonzero_frac"] == 1.0          # channel alive
+    assert diags["logit_sensitivity_to_feats_swap"] > 0.0
+    with pytest.raises(AssertionError):
+        apply_gates(fixed_summary)                            # bar not met
+    # ...and the gap that WOULD meet the bar passes the codes-only gates
+    ceiling = fixed_summary["code_rate_ceiling_nats_per_sample"]
+    passing = dict(fixed_summary, median=dict(
+        fixed_summary["median"], wrong_codes_gap_nats=0.5 * ceiling,
+        codes_used_val=22, val_code_perplexity=9.0))
+    apply_gates(passing)
+
+    # AR-arm gate semantics, exercised on an AR-arm-shaped summary (the
+    # codes-only artifact reshaped: dropout off, margins satisfied)
+    ar = dict(passing, knobs=dict(passing["knobs"], ar_input_dropout=0.0),
+              median=dict(passing["median"], train_ce_final=UNIFORM_NLL - 2.5,
+                          val_teacher_forced_nll=UNIFORM_NLL - 0.8,
+                          codes_used_val=22, val_code_perplexity=9.0,
+                          wrong_codes_gap_nats=0.001))
+    apply_gates(ar)
     # a model that only memorized noise (train descends, val at uniform)
     # must NOT pass
-    bad = dict(summary, median=dict(
-        summary["median"], val_teacher_forced_nll=UNIFORM_NLL - 0.2))
+    bad = dict(ar, median=dict(
+        ar["median"], val_teacher_forced_nll=UNIFORM_NLL - 0.2))
     with pytest.raises(AssertionError):
         apply_gates(bad)
     # a near-collapsed codebook must NOT pass, whatever its NLL margins
-    # (round-4's artifact scored 6/44 codes and slipped through)
-    bad2 = dict(summary, median=dict(summary["median"], codes_used_val=6))
+    # (round-4's artifact scored 6/29 codes and slipped through)
+    bad2 = dict(ar, median=dict(ar["median"], codes_used_val=6))
     with pytest.raises(AssertionError):
         apply_gates(bad2)
-    # an ignored conditional channel (wrong-codes NLL == true-codes NLL)
-    # must NOT pass
-    bad3 = dict(summary, median=dict(
-        summary["median"], wrong_codes_gap_nats=0.0))
+    # a NEGATIVE gap beyond measurement noise must NOT pass the AR arm
+    bad3 = dict(ar, median=dict(
+        ar["median"], wrong_codes_gap_nats=-0.1))
     with pytest.raises(AssertionError):
         apply_gates(bad3)
     # an unconditional-collapse stream scoring above uniform must NOT pass
-    first_seed = next(iter(summary["per_seed"]))
-    bad_seed = dict(summary["per_seed"][first_seed], generation={"f32": {
+    first_seed = next(iter(ar["per_seed"]))
+    bad_seed = dict(ar["per_seed"][first_seed], generation={"f32": {
         "gen_stream_nll_under_model": UNIFORM_NLL + 0.1}})
-    bad4 = dict(summary, per_seed=dict(
-        summary["per_seed"], **{first_seed: bad_seed}))
+    bad4 = dict(ar, per_seed=dict(
+        ar["per_seed"], **{first_seed: bad_seed}))
     with pytest.raises(AssertionError):
         apply_gates(bad4)
